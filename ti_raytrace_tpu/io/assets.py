@@ -1,0 +1,27 @@
+"""Asset path resolution.
+
+Looks for scene assets (OBJ models, spectral CSVs, sky tables, images) in:
+  1. $TIRAY_ASSETS if set
+  2. <repo>/assets
+  3. /root/reference  (the mounted read-only reference data, if present)
+"""
+
+import os
+
+_REPO_ASSETS = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "assets")
+_REFERENCE = "/root/reference"
+
+
+def asset_path(rel: str) -> str:
+    """Resolve a relative asset path like 'model/cornell_box.obj'."""
+    roots = []
+    env = os.environ.get("TIRAY_ASSETS")
+    if env:
+        roots.append(env)
+    roots.append(_REPO_ASSETS)
+    roots.append(_REFERENCE)
+    for root in roots:
+        p = os.path.join(root, rel)
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError(f"asset {rel!r} not found under any of {roots}")
