@@ -286,12 +286,19 @@ def _subtree_sizes(left, right, n_int: int) -> np.ndarray:
 def build_bvh(prim_min, prim_max, scene_min, scene_max) -> dict:
     """Full build: device morton/sort/topology/fit + host threaded flatten.
     Inputs are numpy or jnp (n,3) arrays; returns numpy compact arrays.
+
+    The build is pinned to the CPU backend: it is one-time host-side scene
+    prep (compiling the per-scene-size kernels through a remote-TPU tunnel
+    costs minutes for zero render-loop benefit; the reference's equivalent
+    is its host-orchestrated startup path, LBvh.py:192-226).
     """
-    prim_min = jnp.asarray(prim_min, jnp.float32)
-    prim_max = jnp.asarray(prim_max, jnp.float32)
-    scene_min = jnp.asarray(scene_min, jnp.float32)
-    scene_max = jnp.asarray(scene_max, jnp.float32)
-    tree = build_lbvh_device(prim_min, prim_max, scene_min, scene_max)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        prim_min = jnp.asarray(np.asarray(prim_min), jnp.float32)
+        prim_max = jnp.asarray(np.asarray(prim_max), jnp.float32)
+        scene_min = jnp.asarray(np.asarray(scene_min), jnp.float32)
+        scene_max = jnp.asarray(np.asarray(scene_max), jnp.float32)
+        tree = build_lbvh_device(prim_min, prim_max, scene_min, scene_max)
     tree = {k: (np.asarray(v) if hasattr(v, "shape") else v) for k, v in tree.items()}
     return flatten_threaded(tree)
 

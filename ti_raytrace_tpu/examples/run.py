@@ -1,0 +1,90 @@
+"""CLI render harness: the headless replacement for the reference's
+Main.py + ti.GUI loop (Example.py:38-59).
+
+    python -m ti_raytrace_tpu.examples.run cornell_box \
+        --size 512 --frames 512 --out out.png
+
+Progressive rendering: 1 spp per frame, running-mean accumulation,
+periodic PNG snapshots and resumable checkpoints.
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import numpy as np
+
+from ti_raytrace_tpu import film as film_mod
+from ti_raytrace_tpu.examples.scenes import EXAMPLES, make_camera
+from ti_raytrace_tpu.metrics import RenderMeter
+
+
+def get_integrator(name: str):
+    if name == "pt_rgb":
+        from ti_raytrace_tpu.integrators import pt_rgb
+
+        return pt_rgb.render_frame
+    if name == "debug":
+        from ti_raytrace_tpu.integrators import debug
+
+        return debug.render_frame
+    if name == "pt_spec":
+        from ti_raytrace_tpu.integrators import pt_spec
+
+        return pt_spec.make_render_frame()
+    if name == "bdpt_rgb":
+        from ti_raytrace_tpu.integrators import bdpt_rgb
+
+        return bdpt_rgb.render_frame
+    if name == "bdpt_spec":
+        from ti_raytrace_tpu.integrators import bdpt_spec
+
+        return bdpt_spec.make_render_frame()
+    raise ValueError(f"unknown integrator {name!r}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("example", choices=sorted(EXAMPLES))
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--frames", type=int, default=512)
+    ap.add_argument("--out", default="out.png")
+    ap.add_argument("--integrator", default=None, help="override integrator")
+    ap.add_argument("--snapshot-every", type=int, default=64)
+    ap.add_argument("--checkpoint", default=None, help="save/resume .npz path")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    scene, cfg = EXAMPLES[args.example]()
+    spec, cam = make_camera(scene, cfg, args.size, args.size)
+    render = get_integrator(args.integrator or cfg.integrator)
+
+    fl = film_mod.new_film(args.size, args.size, seed=args.seed)
+    if args.checkpoint:
+        try:
+            fl = film_mod.load_checkpoint(args.checkpoint)
+            print(f"resumed at frame {int(fl.frame)}")
+        except FileNotFoundError:
+            pass
+
+    meter = RenderMeter(spec.width * spec.height)
+    while int(fl.frame) < args.frames:
+        t0 = time.perf_counter()
+        radiance = render(scene, spec, cam, fl.frame, fl.key)
+        fl = film_mod.accumulate(fl, radiance)
+        fl.hdr.block_until_ready()
+        meter.tick(time.perf_counter() - t0)
+        f = int(fl.frame)
+        if f % args.snapshot_every == 0 or f == args.frames:
+            film_mod.save_png(fl, args.out, exposure=cfg.exposure)
+            if args.checkpoint:
+                film_mod.save_checkpoint(fl, args.checkpoint)
+            print(f"frame {f}/{args.frames}  {meter.summary()}")
+
+    film_mod.save_png(fl, args.out, exposure=cfg.exposure)
+    print(json.dumps(meter.report()))
+
+
+if __name__ == "__main__":
+    main()

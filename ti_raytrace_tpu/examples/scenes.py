@@ -1,0 +1,157 @@
+"""The six reference scenes as declarative configs.
+
+Each function reproduces one reference example module
+(example/{cornell_box,single_model,sky_dome,spectral_box,veach_bdpt,
+prism_rainbow}.py): asset, material overrides, lights, integrator choice,
+and the camera auto-framing rule.
+"""
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ti_raytrace_tpu.camera import CameraSpec, orbit_camera
+from ti_raytrace_tpu.core import constants as C
+from ti_raytrace_tpu.io.assets import asset_path
+from ti_raytrace_tpu.scene.build import (
+    MaterialRec,
+    SceneBuilder,
+    laser_shape,
+    sphere_shape,
+)
+
+
+@dataclass
+class ExampleConfig:
+    name: str
+    integrator: str             # debug | pt_rgb | pt_spec | bdpt_rgb | bdpt_spec
+    scale_mult: float = 0.8     # camera distance = diag * scale_mult
+    fixed_scale: float | None = None
+    fixed_target: tuple | None = None
+    yaw: float = 0.0
+    pitch: float = 0.0
+    exposure: float = 0.5       # reference Example.py:43
+    sky: dict = field(default_factory=dict)  # PT_Spec sky parameters
+
+
+def _add_sphere_light(b: SceneBuilder, emission=50.0):
+    """(reference Example.add_sphere_light, Example.py:27-36)."""
+    b.add_shape(
+        sphere_shape([0.0, 20.0, 0.0], 5.0),
+        MaterialRec(C.MAT_LIGHT, color=[emission] * 3),
+    )
+
+
+def cornell_box():
+    """PT_RGB on the classic box (example/cornell_box.py)."""
+    b = SceneBuilder()
+    b.add_obj(asset_path("model/cornell_box.obj"))
+    return b.build(), ExampleConfig("cornell_box", "pt_rgb", scale_mult=0.8)
+
+
+def single_model():
+    """Glass sphere + sphere light + env map (example/single_model.py).
+    The reference's 100k-tri `mc.obj` benchmark mesh slot lives here; the
+    blob is missing upstream, so bench.py substitutes a subdivided mesh."""
+    b = SceneBuilder()
+    b.add_obj(asset_path("model/sphere.obj"))
+    b.materials[0] = MaterialRec(
+        C.MAT_GLASS, color=b.materials[0].color, p0=1.3, p1=5.0
+    )
+    _add_sphere_light(b)
+    b.add_env(asset_path("image/env.png"), 5.0)
+    return (
+        b.build(smooth_normals=True),
+        ExampleConfig("single_model", "pt_rgb", scale_mult=0.8),
+    )
+
+
+def sky_dome():
+    """Mirror sphere under the Hosek-Wilkie sky (example/sky_dome.py)."""
+    b = SceneBuilder()
+    b.add_obj(asset_path("model/sphere.obj"))
+    b.materials[0].p0 = 1.0  # metal
+    b.materials[0].p1 = 0.0  # rough
+    _add_sphere_light(b)
+    sc = b.build(smooth_normals=True)
+    return sc, ExampleConfig(
+        "sky_dome",
+        "pt_spec",
+        scale_mult=2.0,
+        sky=dict(turbidity=3.0, albedo=0.3, elevation=25.0),
+    )
+
+
+def spectral_box():
+    """Hero-wavelength spectral cornell box (example/spectral_box.py):
+    the first three materials become measured-SPD reflectors."""
+    b = SceneBuilder()
+    b.add_obj(asset_path("model/cornell_box.obj"))
+    for i, tex in ((0, 0), (1, 1), (2, 2)):
+        b.materials[i].type = C.MAT_SPECTRAL
+        b.materials[i].tex = tex  # 0=white 1=red 2=green SPD
+    return (
+        b.build(smooth_normals=True),
+        ExampleConfig("spectral_box", "pt_spec", scale_mult=0.8),
+    )
+
+
+def veach_bdpt():
+    """Veach MIS scene with the bidirectional tracer
+    (example/veach_bdpt.py)."""
+    b = SceneBuilder()
+    b.add_obj(asset_path("model/bdpt.obj"))
+    return (
+        b.build(smooth_normals=True),
+        ExampleConfig("veach_bdpt", "bdpt_rgb", scale_mult=0.5),
+    )
+
+
+def prism_rainbow():
+    """Dispersion demo: prism + laser, spectral BDPT
+    (example/prism_rainbow.py) — the scene the reference could only run on
+    its CPU backend."""
+    b = SceneBuilder()
+    b.add_obj(asset_path("model/prism1.obj"))
+    b.add_shape(
+        sphere_shape([0.0, 20.0, 0.0], 5.0),
+        MaterialRec(C.MAT_LIGHT, color=[500.0] * 3),
+    )
+    b.add_shape(
+        laser_shape([1.0, 0.0, 9.0], [0.0, 0.0, -1.0], 0.1),
+        MaterialRec(C.MAT_LIGHT, color=[500.0] * 3),
+    )
+    return (
+        b.build(),
+        ExampleConfig(
+            "prism_rainbow",
+            "bdpt_spec",
+            fixed_scale=10.0,
+            fixed_target=(0.0, 0.0, 0.0),
+        ),
+    )
+
+
+EXAMPLES = {
+    "cornell_box": cornell_box,
+    "single_model": single_model,
+    "sky_dome": sky_dome,
+    "spectral_box": spectral_box,
+    "veach_bdpt": veach_bdpt,
+    "prism_rainbow": prism_rainbow,
+}
+
+
+def make_camera(scene, cfg: ExampleConfig, width: int, height: int):
+    """Apply the example's framing rule (cornell_box.py:26-30 etc.)."""
+    spec = CameraSpec(width, height)
+    if cfg.fixed_scale is not None:
+        target = np.asarray(cfg.fixed_target or (0.0, 0.0, 0.0))
+        state = orbit_camera(target, cfg.yaw, cfg.pitch, cfg.fixed_scale)
+    else:
+        lo = np.asarray(scene.aabb_min)
+        hi = np.asarray(scene.aabb_max)
+        centre = 0.5 * (lo + hi)
+        scale = float(np.linalg.norm(hi - lo)) * cfg.scale_mult
+        state = orbit_camera(centre, cfg.yaw, cfg.pitch, scale)
+    return spec, state

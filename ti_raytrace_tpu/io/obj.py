@@ -25,7 +25,9 @@ import numpy as np
 @dataclass
 class ObjMaterial:
     name: str
-    diffuse: tuple = (0.0, 0.0, 0.0)
+    # defaults follow pywavefront's Material defaults (the reference's
+    # loader), so sphere.obj (no mtllib) classifies identically
+    diffuse: tuple = (0.8, 0.8, 0.8)
     emissive: tuple = (0.0, 0.0, 0.0)
     shininess: float = 0.0       # Ns
     optical_density: float = 1.0  # Ni

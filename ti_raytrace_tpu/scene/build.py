@@ -240,6 +240,10 @@ class SceneBuilder:
             aabb_min=aabb_min,
             aabb_max=aabb_max,
         )
+        from ti_raytrace_tpu.scene.packs import build_light_attr, build_prim_attr
+
+        host["prim_attr"] = build_prim_attr(host)
+        host["light_attr"] = build_light_attr(host)
         return device_scene(host)
 
 

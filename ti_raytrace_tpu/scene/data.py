@@ -66,6 +66,10 @@ class SceneData(NamedTuple):
     bvh_prim: jnp.ndarray      # int32: primitive id at leaf, -1 for inner
     bvh_escape: jnp.ndarray    # int32: DFS index after this subtree (K = end)
 
+    # --- planar packed attribute tables (see scene/packs.py) ---------
+    prim_attr: jnp.ndarray     # (32, P) f32: per-prim shading pack
+    light_attr: jnp.ndarray    # (32, L) f32: per-light sampling pack
+
     # --- global ------------------------------------------------------
     aabb_min: jnp.ndarray      # (3,) f32 scene bounds
     aabb_max: jnp.ndarray      # (3,) f32
@@ -118,6 +122,8 @@ def device_scene(host: dict) -> SceneData:
         bvh_max=arr(host["bvh_max"], jnp.float32),
         bvh_prim=arr(host["bvh_prim"], jnp.int32),
         bvh_escape=arr(host["bvh_escape"], jnp.int32),
+        prim_attr=arr(host["prim_attr"], jnp.float32),
+        light_attr=arr(host["light_attr"], jnp.float32),
         aabb_min=arr(host["aabb_min"], jnp.float32),
         aabb_max=arr(host["aabb_max"], jnp.float32),
     )
