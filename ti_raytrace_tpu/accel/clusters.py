@@ -1,0 +1,103 @@
+"""Cluster acceleration structure: morton-ordered triangle blocks.
+
+The TPU-native replacement for deep-tree traversal on large scenes.
+Primitives are sorted by the morton code of their centroid (the same
+spatial ordering the LBVH build uses, accel/lbvh.py) and chopped into
+fixed-size clusters of B triangles.  Each cluster stores its AABB and a
+planar (12, B) triangle block:
+
+  rows 0:2 v0, 3:5 e1, 6:8 e2, 9 prim_id (float), 10:11 pad
+
+Traversal (ops/cluster_trace.py) is then a two-phase streaming sweep:
+per ray-tile, slab-test all cluster AABBs (dense VPU work), and run the
+Möller-Trumbore block only for clusters some ray in the tile entered —
+the TPU analogue of a 2-level BVH with the tree replaced by a dense,
+branch-free broad phase.
+
+Analytic-shape primitives are excluded (handled by a dense tail pass);
+padding triangles are degenerate (e1 = e2 = 0 -> zero determinant ->
+guaranteed miss).
+"""
+
+import numpy as np
+
+from ti_raytrace_tpu.core import constants as C
+
+CLUSTER_B = 128  # triangles per cluster
+TRI_ROWS = 12
+CHUNK_PAD = 128  # cluster count padded to this multiple: the traversal
+                 # kernel slices bounds in CHUNK_PAD chunks, and an
+                 # out-of-bounds dynamic slice would clamp + misalign
+
+
+def _expand_bits_np(x):
+    x = x.astype(np.uint32)
+    x = (x | (x << 16)) & np.uint32(0x030000FF)
+    x = (x | (x << 8)) & np.uint32(0x0300F00F)
+    x = (x | (x << 4)) & np.uint32(0x030C30C3)
+    x = (x | (x << 2)) & np.uint32(0x09249249)
+    return x
+
+
+def _morton3d_np(q):
+    qi = np.clip(q * 1024.0, 0.0, 1023.0).astype(np.uint32)
+    return (
+        _expand_bits_np(qi[:, 0])
+        | (_expand_bits_np(qi[:, 1]) << 1)
+        | (_expand_bits_np(qi[:, 2]) << 2)
+    )
+
+
+def build_clusters(host: dict, block: int = CLUSTER_B) -> dict:
+    """Build cluster arrays from the host scene dict.
+
+    Returns dict(cluster_bounds (8, C), cluster_tri (TRI_ROWS, C*block)).
+    Always at least one cluster (degenerate if the scene has no tris).
+    """
+    ptype = host["prim_type"]
+    tri_ids = np.nonzero(ptype == C.PRIM_TRI)[0]
+    T = tri_ids.shape[0]
+
+    if T == 0:
+        bounds = np.zeros((8, CHUNK_PAD), np.float32)
+        bounds[0:3, :] = 1.0   # min > max: never hit
+        bounds[3:6, :] = -1.0
+        tri = np.zeros((TRI_ROWS, CHUNK_PAD * block), np.float32)
+        tri[9, :] = -1.0
+        return dict(cluster_bounds=bounds, cluster_tri=tri)
+
+    v0 = host["tri_v0"][tri_ids]
+    e1 = host["tri_e1"][tri_ids]
+    e2 = host["tri_e2"][tri_ids]
+    v1 = v0 + e1
+    v2 = v0 + e2
+    pmin = np.minimum(np.minimum(v0, v1), v2)
+    pmax = np.maximum(np.maximum(v0, v1), v2)
+    centroid = 0.5 * (pmin + pmax)
+    lo = centroid.min(0)
+    hi = centroid.max(0)
+    q = (centroid - lo) / np.maximum(hi - lo, 1e-12)
+    order = np.argsort(_morton3d_np(q), kind="stable")
+
+    sorted_ids = tri_ids[order]
+    n_clusters = (T + block - 1) // block
+    n_clusters = ((n_clusters + CHUNK_PAD - 1) // CHUNK_PAD) * CHUNK_PAD
+    P_pad = n_clusters * block
+
+    tri = np.zeros((TRI_ROWS, P_pad), np.float32)
+    tri[0:3, :T] = v0[order].T
+    tri[3:6, :T] = e1[order].T
+    tri[6:9, :T] = e2[order].T
+    tri[9, :T] = sorted_ids.astype(np.float32)
+    tri[9, T:] = -1.0
+
+    bounds = np.zeros((8, n_clusters), np.float32)
+    bounds[0:3, :] = 1.0   # empty clusters: min > max, never hit
+    bounds[3:6, :] = -1.0
+    bmin = pmin[order]
+    bmax = pmax[order]
+    for c in range((T + block - 1) // block):
+        s = slice(c * block, min((c + 1) * block, T))
+        bounds[0:3, c] = bmin[s].min(0)
+        bounds[3:6, c] = bmax[s].max(0)
+    return dict(cluster_bounds=bounds, cluster_tri=tri)

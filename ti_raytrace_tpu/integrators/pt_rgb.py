@@ -88,7 +88,11 @@ def _bounce(scene, carry, key):
     ndl_surf = pv.dot(fnormal, ls["direction"])
     ndl_light = pv.dot(ls["normal"], ls["direction"])
     nee_geo_ok = is_disney & (ndl_surf < 0.0) & (ndl_light > 0.0)
-    _, sh_prim = trace(scene, ls["pos"], ls["direction"])
+    # park shadow rays of non-disney lanes far outside the scene: their
+    # tiles then fail every cluster test and cost nothing (the dense
+    # tracer ignores parking; the cluster tracer exploits it)
+    sh_o = pv.where(is_disney, ls["pos"], jnp.full_like(ls["pos"], 1e9))
+    _, sh_prim = trace(scene, sh_o, ls["direction"])
     unoccluded = sh_prim == prim
     nee_brdf, nee_pdf = disney_evaluate_pdf(
         fnormal, -d, -ls["direction"], hit.mat_p0, hit.mat_p1
@@ -131,7 +135,9 @@ def _bounce(scene, carry, key):
     )
 
     return dict(
-        origin=pv.where(cont, next_origin, o),
+        # terminated lanes get parked far away -> all-dead ray tiles
+        # short-circuit in the cluster tracer
+        origin=pv.where(cont, next_origin, jnp.full_like(o, 1e9)),
         direction=pv.where(cont, next_dir, d),
         throughput=throughput,
         radiance=radiance,

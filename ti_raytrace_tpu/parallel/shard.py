@@ -1,0 +1,74 @@
+"""Multi-chip rendering: pixel-tile sharding over a device mesh.
+
+Path tracing is embarrassingly parallel per pixel (SURVEY.md §5.8), so the
+sharding story is simple and rides ICI exclusively:
+
+  * the scene pytree (geometry, BVH, packs, env map, spectral tables) is
+    REPLICATED on every device;
+  * the ray wavefront and film are SHARDED along the pixel axis (the lane
+    axis of every planar (…, N) tensor);
+  * PT needs no cross-device communication at all; BDPT's light-tracing
+    splats land on arbitrary pixels, so each device accumulates a local
+    full-resolution splat film which is `psum`-reduced once per frame
+    (integrators/bdpt_rgb.py) — the only collective in the renderer.
+
+`make_mesh()` builds a 1-D mesh over all local devices; `render_sharded`
+wraps an integrator's planar `trace_paths`-style function in `shard_map`.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+AXIS = "pix"
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def replicate_scene(scene, mesh: Mesh):
+    """Place every scene leaf replicated on the mesh."""
+    spec = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, spec), scene)
+
+
+def render_frame_sharded(render_paths_fn, scene, spec, cam, frame, key, mesh: Mesh):
+    """One progressive frame over the mesh.
+
+    render_paths_fn(scene, o, d, key) -> (3, N_local) radiance (an
+    integrator's planar path kernel, e.g. pt_rgb.trace_paths).
+
+    Rays are generated globally (deterministic per frame) and sharded
+    along the wavefront axis; each device traces its pixel shard against
+    the replicated scene.  The returned radiance is the full (W, H, 3)
+    frame (sharded; converges to host layout on use).
+    """
+    from ti_raytrace_tpu.camera import ray_directions, ray_origins
+
+    k_cam, k_path = jax.random.split(key)
+    o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
+    d = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
+
+    scene_specs = jax.tree.map(lambda _: P(), scene)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(scene_specs, P(None, AXIS), P(None, AXIS), P()),
+        out_specs=P(None, AXIS),
+        check_vma=False,
+    )
+    def _run(scene_, o_, d_, key_):
+        # decorrelate RNG across shards by the device's mesh position
+        my = jax.lax.axis_index(AXIS)
+        return render_paths_fn(scene_, o_, d_, jax.random.fold_in(key_, my))
+
+    radiance = _run(scene, o, d, k_path)
+    return jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)

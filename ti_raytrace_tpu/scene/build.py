@@ -92,6 +92,20 @@ class SceneBuilder:
                 self.aabb_min = np.minimum(self.aabb_min, tp.reshape(-1, 3).min(0))
                 self.aabb_max = np.maximum(self.aabb_max, tp.reshape(-1, 3).max(0))
 
+    def add_triangles(self, pos, nrm, uv, mat: MaterialRec):
+        """Add a procedural triangle soup under one material.
+        pos/nrm: (T,3,3); uv: (T,3,2)."""
+        mat_idx = len(self.materials)
+        self.materials.append(mat)
+        pos = np.asarray(pos, np.float32)
+        self._pos.append(pos)
+        self._nrm.append(np.asarray(nrm, np.float32))
+        self._uv.append(np.asarray(uv, np.float32))
+        self._tri_mat.append(np.full((pos.shape[0],), mat_idx, np.int32))
+        if pos.shape[0]:
+            self.aabb_min = np.minimum(self.aabb_min, pos.reshape(-1, 3).min(0))
+            self.aabb_max = np.maximum(self.aabb_max, pos.reshape(-1, 3).max(0))
+
     def add_shape(self, shape: ShapeRec, mat: MaterialRec):
         """(reference Scene.add_shape, Scene.py:188-205)."""
         self._shape_prims.append((len(self.shapes), len(self.materials)))
@@ -240,10 +254,12 @@ class SceneBuilder:
             aabb_min=aabb_min,
             aabb_max=aabb_max,
         )
+        from ti_raytrace_tpu.accel.clusters import build_clusters
         from ti_raytrace_tpu.scene.packs import build_light_attr, build_prim_attr
 
         host["prim_attr"] = build_prim_attr(host)
         host["light_attr"] = build_light_attr(host)
+        host.update(build_clusters(host))
         return device_scene(host)
 
 

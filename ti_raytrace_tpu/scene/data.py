@@ -70,6 +70,10 @@ class SceneData(NamedTuple):
     prim_attr: jnp.ndarray     # (32, P) f32: per-prim shading pack
     light_attr: jnp.ndarray    # (32, L) f32: per-light sampling pack
 
+    # --- cluster acceleration (see accel/clusters.py) ----------------
+    cluster_bounds: jnp.ndarray  # (8, C) f32 cluster AABBs
+    cluster_tri: jnp.ndarray     # (12, C*B) f32 planar triangle blocks
+
     # --- global ------------------------------------------------------
     aabb_min: jnp.ndarray      # (3,) f32 scene bounds
     aabb_max: jnp.ndarray      # (3,) f32
@@ -124,6 +128,8 @@ def device_scene(host: dict) -> SceneData:
         bvh_escape=arr(host["bvh_escape"], jnp.int32),
         prim_attr=arr(host["prim_attr"], jnp.float32),
         light_attr=arr(host["light_attr"], jnp.float32),
+        cluster_bounds=arr(host["cluster_bounds"], jnp.float32),
+        cluster_tri=arr(host["cluster_tri"], jnp.float32),
         aabb_min=arr(host["aabb_min"], jnp.float32),
         aabb_max=arr(host["aabb_max"], jnp.float32),
     )
