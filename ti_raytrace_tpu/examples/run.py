@@ -20,7 +20,7 @@ from ti_raytrace_tpu.examples.scenes import EXAMPLES, make_camera
 from ti_raytrace_tpu.metrics import RenderMeter
 
 
-def get_integrator(name: str):
+def get_integrator(name: str, cfg_sky=None):
     if name == "pt_rgb":
         from ti_raytrace_tpu.integrators import pt_rgb
 
@@ -32,7 +32,8 @@ def get_integrator(name: str):
     if name == "pt_spec":
         from ti_raytrace_tpu.integrators import pt_spec
 
-        return pt_spec.make_render_frame()
+        sky = cfg_sky or {}
+        return pt_spec.make_render_frame(**sky)
     if name == "bdpt_rgb":
         from ti_raytrace_tpu.integrators import bdpt_rgb
 
@@ -58,7 +59,7 @@ def main(argv=None):
 
     scene, cfg = EXAMPLES[args.example]()
     spec, cam = make_camera(scene, cfg, args.size, args.size)
-    render = get_integrator(args.integrator or cfg.integrator)
+    render = get_integrator(args.integrator or cfg.integrator, cfg.sky)
 
     fl = film_mod.new_film(args.size, args.size, seed=args.seed)
     if args.checkpoint:

@@ -73,12 +73,14 @@ def sky_dome():
     b.materials[0].p0 = 1.0  # metal
     b.materials[0].p1 = 0.0  # rough
     _add_sphere_light(b)
-    sc = b.build(smooth_normals=True)
+    sc = b.build(smooth_normals=True, spectral=True)
+    # sky parameters fixed inside the reference integrator
+    # (PT_Spec.py:49: Sky(3.0, 0.5, 0.17))
     return sc, ExampleConfig(
         "sky_dome",
         "pt_spec",
         scale_mult=2.0,
-        sky=dict(turbidity=3.0, albedo=0.3, elevation=25.0),
+        sky=dict(turbidity=3.0, albedo=0.5, elevation=0.17),
     )
 
 
@@ -91,8 +93,13 @@ def spectral_box():
         b.materials[i].type = C.MAT_SPECTRAL
         b.materials[i].tex = tex  # 0=white 1=red 2=green SPD
     return (
-        b.build(smooth_normals=True),
-        ExampleConfig("spectral_box", "pt_spec", scale_mult=0.8),
+        b.build(smooth_normals=True, spectral=True),
+        ExampleConfig(
+            "spectral_box",
+            "pt_spec",
+            scale_mult=0.8,
+            sky=dict(turbidity=3.0, albedo=0.5, elevation=0.17),
+        ),
     )
 
 
@@ -122,7 +129,7 @@ def prism_rainbow():
         MaterialRec(C.MAT_LIGHT, color=[500.0] * 3),
     )
     return (
-        b.build(),
+        b.build(spectral=True),
         ExampleConfig(
             "prism_rainbow",
             "bdpt_spec",

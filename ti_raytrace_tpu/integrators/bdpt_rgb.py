@@ -1,0 +1,606 @@
+"""Bidirectional path tracer with multiple importance sampling (planar).
+
+Re-architecture of reference integrator/BDPT_RGB.py for TPU:
+
+  * the eye subpath (<= MAX_DEPTH+2 = 7 vertices, BDPT_RGB.py:22-25) and
+    light subpath (<= 6) are built by statically-unrolled wavefront walks;
+    each depth's vertex is a dict of planar (3, N)/(N,) arrays — the
+    reference's (W, H, depth) SoA pools (BDPT_Vertex.py) with the depth
+    axis unrolled at trace time, so all indexing is static;
+  * every (e, l) connection strategy is a masked whole-wavefront block
+    (static double loop, reference render:617-637), including the e=1
+    light-tracing strategy that splats to a different pixel via one
+    scatter-add per frame (reference :630-633);
+  * the MIS weight (reference mis_weight:302-479) is evaluated
+    functionally: the reference temporarily rewrites endpoint vertices in
+    shared pools (the temp-swap trick, :311-332) and restores them; here
+    the recomputed endpoint reverse-pdfs are passed as override values
+    into a pure weight function.
+
+Parity notes (PARITY.md): the reference's mis_weight compares the
+material *index* against MAT_DISNEY==0 (BDPT_RGB.py:364,379,432 —
+`light.mat` holds an index), so only material #0 ever contributes a real
+reverse pdf; we use the material *type*, which is what the surrounding
+code plainly intends.  Everything else (remap0 semantics, delta masking,
+vertex-area pdf conversions, beta conventions including the emitter-hit
+beta = beta*emission*|n.d|) follows the reference exactly.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ti_raytrace_tpu.accel import trace, trace_shaded
+from ti_raytrace_tpu.bsdf.planar import disney_evaluate_pdf, disney_sample, glass_sample
+from ti_raytrace_tpu.camera import CameraSpec, project, ray_directions, ray_origins
+from ti_raytrace_tpu.core import constants as C
+from ti_raytrace_tpu.ops import planar as pv
+from ti_raytrace_tpu.ops.shading import decode_hit
+from ti_raytrace_tpu.scene.sample_planar import sample_li, sample_light
+from ti_raytrace_tpu.utils.colorsp import srgb_to_lrgb
+
+MAX_DEPTH = 5            # reference BDPT_RGB.py:23
+EYE_MAX_DEPTH = MAX_DEPTH + 2
+LIGHT_MAX_DEPTH = MAX_DEPTH + 1
+
+V_NONE, V_LIGHT, V_LENS, V_SURFACE = 0, 1, 2, 3
+
+PARK = 1e9
+
+
+def _cos_pdf(c):
+    return jnp.maximum(0.01, c / C.PI)
+
+
+def _disney_pdf(n, v, l, metallic, roughness):
+    _, p = disney_evaluate_pdf(n, v, l, metallic, roughness)
+    return jnp.maximum(p, 0.0)
+
+
+def _empty_vertex(N):
+    z3 = jnp.zeros((3, N), jnp.float32)
+    z = jnp.zeros((N,), jnp.float32)
+    return dict(
+        pos=z3, normal=z3, snormal=z3, wo=z3, beta=z3, reflect=z3,
+        fpdf=z, rpdf=z, delta=z, area=z, metallic=z, roughness=z,
+        vtype=jnp.zeros((N,), jnp.int32), prim=jnp.full((N,), -1, jnp.int32),
+        mat_type=jnp.zeros((N,), jnp.int32),
+    )
+
+
+def _walk(scene, origin, direction, beta0, fpdf0, vertex0, max_depth, key,
+          is_light_path):
+    """Shared subpath random walk (reference eye_path:105-198 /
+    light_path:201-294).  Returns list of per-depth vertex dicts and the
+    per-lane vertex count."""
+    N = origin.shape[1]
+    verts = [vertex0] + [_empty_vertex(N) for _ in range(max_depth - 1)]
+    count = jnp.ones((N,), jnp.int32)
+
+    o, d = origin, direction
+    beta = beta0
+    pdf_fwd = fpdf0
+    alive = jnp.ones((N,), bool)
+
+    for depth in range(1, max_depth):
+        k = jax.random.fold_in(key, depth)
+        u = jax.random.uniform(k, (5, N), dtype=jnp.float32)
+
+        o_t = pv.where(alive, o, jnp.full_like(o, PARK))
+        t, prim, uv_bary, attr = trace_shaded(scene, o_t, d)
+        hit = decode_hit(o_t, d, t, prim, uv_bary, attr)
+        valid = hit.valid & alive
+        fnormal = pv.faceforward(hit.normal, -d, hit.gnormal)
+        reflect = srgb_to_lrgb(hit.mat_color)
+        is_light_mat = hit.mat_type == C.MAT_LIGHT
+
+        prev = verts[depth - 1]
+        to = hit.pos - prev["pos"]
+        dist = jnp.maximum(pv.length(to), 0.01)
+        inv_d2 = 1.0 / (dist * dist)
+        to = to * (1.0 / dist)[None]
+        geo_fwd = jnp.abs(pv.dot(to, prev["normal"])) * inv_d2
+
+        if is_light_path:
+            # light walk stops on emitter hits without storing a vertex
+            store = valid & ~is_light_mat
+        else:
+            store = valid
+
+        vt = verts[depth]
+        vt["pos"] = pv.where(store, hit.pos, vt["pos"])
+        vt["normal"] = pv.where(store, hit.normal, vt["normal"])
+        vt["snormal"] = pv.where(store, fnormal, vt["snormal"])
+        vt["wo"] = pv.where(store, d, vt["wo"])
+        vt["reflect"] = pv.where(store, reflect, vt["reflect"])
+        vt["fpdf"] = jnp.where(store, pdf_fwd * geo_fwd, vt["fpdf"])
+        vt["prim"] = jnp.where(store, prim, vt["prim"])
+        vt["mat_type"] = jnp.where(store, hit.mat_type, vt["mat_type"])
+        vt["metallic"] = jnp.where(store, hit.mat_p0, vt["metallic"])
+        vt["roughness"] = jnp.where(store, hit.mat_p1, vt["roughness"])
+        vt["area"] = jnp.where(store, hit.area, vt["area"])
+
+        if not is_light_path:
+            # emitter hit terminates the eye walk with a light vertex
+            # (beta folds emission and |n.d|, reference :148-152)
+            lhit = valid & is_light_mat
+            vt["beta"] = pv.where(
+                lhit,
+                beta * hit.mat_color * jnp.abs(pv.dot(hit.normal, d))[None],
+                pv.where(store, beta * jnp.abs(pv.dot(d, hit.normal))[None], vt["beta"]),
+            )
+            vt["vtype"] = jnp.where(
+                lhit, V_LIGHT, jnp.where(store, V_SURFACE, vt["vtype"])
+            )
+            count = jnp.where(valid, depth + 1, count)
+            continue_mask = valid & ~is_light_mat
+        else:
+            vt["beta"] = pv.where(store, beta * jnp.abs(pv.dot(d, hit.normal))[None], vt["beta"])
+            vt["vtype"] = jnp.where(store, V_SURFACE, vt["vtype"])
+            count = jnp.where(store, depth + 1, count)
+            continue_mask = store
+
+        # ---- sample the continuation --------------------------------
+        is_glass = continue_mask & (hit.mat_type == C.MAT_GLASS)
+        g_dir, g_forb = glass_sample(u[0], d, hit.normal, hit.mat_p0)
+        d_dir = disney_sample(u[0:3], d, fnormal, hit.mat_p0, hit.mat_p1)
+        d_brdf, d_pdf = disney_evaluate_pdf(fnormal, -d, d_dir, hit.mat_p0, hit.mat_p1)
+
+        next_dir = pv.where(is_glass, g_dir, d_dir)
+        f_or_b = jnp.where(is_glass, g_forb, 1.0)
+        brdf = jnp.where(is_glass, 1.0, d_brdf)
+        pdf_new = jnp.where(is_glass, 1.0, d_pdf)
+        vt["delta"] = jnp.where(store, jnp.where(is_glass, 1.0, 0.0), vt["delta"])
+
+        ok = continue_mask & (pdf_new > 0.0)
+
+        # reverse pdf of the PREVIOUS vertex (reference :179-180, :274-277)
+        pdf_rev = jnp.where(
+            is_glass, 0.0, _disney_pdf(fnormal, next_dir, -d, hit.mat_p0, hit.mat_p1)
+        )
+        geo_rev = jnp.abs(pv.dot(to, vt["normal"])) * inv_d2
+        prev["rpdf"] = jnp.where(ok, pdf_rev * geo_rev, prev["rpdf"])
+
+        beta_scale = jnp.where(
+            is_glass,
+            brdf,
+            brdf * jnp.abs(pv.dot(hit.normal, next_dir)) / jnp.maximum(pdf_new, 1e-12),
+        )
+        beta = pv.where(ok, beta * reflect * beta_scale[None], beta)
+        pdf_fwd = jnp.where(is_glass, 0.0, jnp.where(ok, pdf_new, pdf_fwd))
+
+        # Beer-Lambert roulette on transmission (reference :182-186)
+        beer_r = jnp.exp(-t / jnp.maximum(hit.mat_p1, 1e-12))
+        beer_kill = (f_or_b < 0.0) & (u[4] >= beer_r)
+        ok = ok & ~beer_kill
+
+        o = pv.where(ok, pv.offset_ray(hit.pos, fnormal * pv.sign_nonzero(f_or_b)[None]), o)
+        d = pv.where(ok, next_dir, d)
+        alive = ok
+
+    return verts, count
+
+
+def build_eye_path(scene, spec, cam, frame, key):
+    N = spec.width * spec.height
+    k_cam, k_walk = jax.random.split(key)
+    o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
+    d = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
+
+    v0 = _empty_vertex(N)
+    v0["pos"] = o
+    v0["normal"] = d  # reference stores the ray direction (:114)
+    v0["beta"] = jnp.ones((3, N), jnp.float32)
+    v0["fpdf"] = jnp.ones((N,), jnp.float32)
+    v0["vtype"] = jnp.full((N,), V_LENS, jnp.int32)
+
+    return _walk(
+        scene, o, d, jnp.ones((3, N), jnp.float32), jnp.ones((N,), jnp.float32),
+        v0, EYE_MAX_DEPTH, k_walk, is_light_path=False,
+    )
+
+
+def build_light_path(scene, N, key):
+    k_sample, k_walk = jax.random.split(key)
+    u6 = jax.random.uniform(k_sample, (6, N), dtype=jnp.float32)
+    ls = sample_light(scene, u6)
+
+    light_pdf = ls["choice_pdf"]
+    v0 = _empty_vertex(N)
+    v0["pos"] = ls["pos"]
+    v0["normal"] = ls["normal"]
+    v0["snormal"] = ls["normal"]
+    v0["beta"] = ls["emission"] / jnp.maximum(light_pdf, 1e-12)[None]
+    v0["fpdf"] = light_pdf
+    v0["wo"] = ls["direction"]
+    v0["vtype"] = jnp.full((N,), V_LIGHT, jnp.int32)
+    v0["prim"] = ls["prim"]
+
+    beta0 = v0["beta"] * jnp.abs(pv.dot(ls["normal"], ls["direction"]))[None]
+    o = ls["pos"]
+    return _walk(
+        scene, o, ls["direction"], beta0, ls["dir_pdf"], v0,
+        LIGHT_MAX_DEPTH, k_walk, is_light_path=True,
+    )
+
+
+def _remap0(f):
+    return jnp.where(f == 0.0, 1.0, f)
+
+
+def _mis_weight(eye, light, e, l, ov):
+    """1 / (1 + sum of pdf-ratio products) — reference mis_weight:302-479,
+    functional.  `ov` carries the per-connection endpoint overrides:
+      eye_rpdf_e1, eye_rpdf_e2, light_rpdf_l1, light_rpdf_l2 (each (N,)
+      or None), plus for l==1 the sample-vertex fpdf0."""
+    if e + l == 2:
+        return jnp.ones_like(eye[0]["fpdf"])
+
+    def eye_rpdf(k):
+        if k == e - 1 and ov.get("eye_rpdf_e1") is not None:
+            return ov["eye_rpdf_e1"]
+        if k == e - 2 and ov.get("eye_rpdf_e2") is not None:
+            return ov["eye_rpdf_e2"]
+        return eye[k]["rpdf"]
+
+    def eye_delta(k):
+        if k == e - 1:
+            return jnp.zeros_like(eye[k]["delta"])
+        return eye[k]["delta"]
+
+    def light_rpdf(k):
+        if k == l - 1 and ov.get("light_rpdf_l1") is not None:
+            return ov["light_rpdf_l1"]
+        if k == l - 2 and ov.get("light_rpdf_l2") is not None:
+            return ov["light_rpdf_l2"]
+        return light[k]["rpdf"]
+
+    def light_fpdf(k):
+        if k == 0 and l == 1 and ov.get("sample_fpdf0") is not None:
+            return ov["sample_fpdf0"]
+        return light[k]["fpdf"]
+
+    def light_delta(k):
+        if k == l - 1:
+            return jnp.zeros_like(light[k]["delta"])
+        if k == 0 and l == 1:
+            return jnp.zeros_like(light[k]["delta"])
+        return light[k]["delta"]
+
+    ws = 0.0
+    w = 1.0
+    for k in range(e - 1, 0, -1):
+        w = w * _remap0(eye_rpdf(k)) / _remap0(eye[k]["fpdf"])
+        nd = (eye_delta(k) == 0.0) & (eye_delta(k - 1) == 0.0)
+        ws = ws + jnp.where(nd, w, 0.0)
+
+    w = 1.0
+    for k in range(l - 1, -1, -1):
+        w = w * _remap0(light_rpdf(k)) / _remap0(light_fpdf(k))
+        if k == 0:
+            nd = light_delta(0) == 0.0
+        else:
+            nd = (light_delta(k) == 0.0) & (light_delta(k - 1) == 0.0)
+        ws = ws + jnp.where(nd, w, 0.0)
+
+    return 1.0 / (1.0 + ws)
+
+
+def _light_origin_pdf(ev):
+    """(1/area)(1/light_count) of the emitter the eye path hit
+    (reference light_origin_pdf:98-101)."""
+    return 1.0 / jnp.maximum(ev["area"], 1e-12)
+
+
+def _connections(scene, spec, cam, eye, eye_count, light, light_count, key):
+    """All (e, l) strategies; returns (radiance (3,N), splat image)."""
+    N = eye[0]["pos"].shape[1]
+    radiance = jnp.zeros((3, N), jnp.float32)
+    splat = jnp.zeros((spec.width, spec.height, 3), jnp.float32)
+    n_lights = jnp.float32(scene.n_lights)
+
+    for e in range(1, EYE_MAX_DEPTH + 1):
+        for l in range(0, LIGHT_MAX_DEPTH + 1):
+            depth = l + e - 2
+            if (l == 1 and e == 1) or depth < 0 or depth > MAX_DEPTH:
+                continue
+            k = jax.random.fold_in(key, e * 16 + l)
+            ev = eye[e - 1]
+            active = (eye_count >= e) & ((light_count >= l) if l > 0 else True)
+
+            contrib = jnp.zeros((3, N), jnp.float32)
+            ov = {}
+
+            if l == 0:
+                # eye path hit the light directly (reference :493-497)
+                sel = active & (ev["vtype"] == V_LIGHT)
+                contrib = jnp.where(sel[None], ev["beta"], 0.0)
+                ov["eye_rpdf_e1"] = _light_origin_pdf(ev) / n_lights
+                if e > 1:
+                    em = eye[e - 2]
+                    to = em["pos"] - ev["pos"]
+                    dist = jnp.maximum(pv.length(to), 1e-6)
+                    to = to * (1.0 / dist)[None]
+                    ldn = pv.dot(to, ev["normal"])
+                    ov["eye_rpdf_e2"] = jnp.abs(_cos_pdf(jnp.abs(ldn)) * ldn) / (
+                        dist * dist
+                    )
+                sel_any = sel
+
+            elif e == 1:
+                # light tracing: project the light vertex into the camera
+                # (reference :499-521)
+                lv = light[l - 1]
+                px, py, wi_rows, vis = project(
+                    spec, cam, jnp.swapaxes(lv["pos"], 0, 1)
+                )
+                wi = jnp.swapaxes(wi_rows, 0, 1)
+                ndl = pv.dot(wi, lv["snormal"])
+                sel = (
+                    active
+                    & vis
+                    & (lv["delta"] != 1.0)
+                    & (ndl < 0.0)
+                    & (lv["vtype"] == V_SURFACE)
+                )
+                cam_o = jnp.broadcast_to(cam.eye[:, None], (3, N))
+                sh_o = pv.where(sel, cam_o, jnp.full((3, N), PARK))
+                _, sh_prim = trace(scene, sh_o, wi)
+                sel = sel & (sh_prim == lv["prim"])
+                brdf, pdf = disney_evaluate_pdf(
+                    lv["snormal"], -lv["wo"], -wi, lv["metallic"], lv["roughness"]
+                )
+                tdist = jnp.maximum(pv.length(lv["pos"] - cam_o), 1e-6)
+                g = jnp.abs(ndl) / (tdist * tdist)
+                sel = sel & (pdf > 0.0)
+                contrib = jnp.where(
+                    sel[None],
+                    (g * brdf / jnp.maximum(pdf, 1e-12))[None]
+                    * lv["beta"]
+                    * lv["reflect"],
+                    0.0,
+                )
+                # overrides (sample vertex is the lens; eye[0] equals it)
+                if l >= 1:
+                    to = eye[0]["pos"] - lv["pos"]
+                    dist = jnp.maximum(pv.length(to), 1e-6)
+                    to = to * (1.0 / dist)[None]
+                    axis = cam.view[2, :3]  # optical axis (get_optical_axis)
+                    ldn = pv.dot(to, jnp.broadcast_to(axis[:, None], (3, N)))
+                    ov["light_rpdf_l1"] = ldn / (dist * dist)
+                if l >= 2:
+                    lm = light[l - 2]
+                    wi2 = ev["pos"] - lv["pos"]
+                    wo2 = lm["pos"] - lv["pos"]
+                    dist2 = jnp.maximum(pv.length(wo2), 1e-6)
+                    wi2 = pv.normalize(wi2)
+                    wo2 = pv.normalize(wo2)
+                    pdf2 = jnp.where(
+                        lv["mat_type"] == C.MAT_DISNEY,
+                        _disney_pdf(lv["normal"], wi2, wo2, lv["metallic"], lv["roughness"]),
+                        1.0,
+                    )
+                    geo = pdf2 / (dist2 * dist2)
+                    geo = geo * jnp.where(
+                        lm["vtype"] == V_SURFACE,
+                        jnp.abs(pv.dot(lv["normal"], wo2)),
+                        1.0,
+                    )
+                    ov["light_rpdf_l2"] = geo
+                sel_any = sel
+                # splat into the camera image at (px, py)
+                mw = _mis_weight(eye, light, e, l, ov)
+                val = contrib * mw[None]
+                flat = jnp.swapaxes(val, 0, 1)  # (N, 3)
+                pxc = jnp.clip(px, 0, spec.width - 1)
+                pyc = jnp.clip(py, 0, spec.height - 1)
+                flat = jnp.where(sel[:, None], flat, 0.0)
+                splat = splat.at[pxc, pyc].add(flat)
+                continue
+
+            elif l == 1:
+                # NEE from the eye vertex with a fresh light sample
+                # (reference :524-559)
+                u3 = jax.random.uniform(k, (3, N), dtype=jnp.float32)
+                surface = pv.offset_ray(ev["pos"], ev["snormal"])
+                ls = sample_li(scene, surface, u3)
+                wi = ls["direction"]
+                ndl_l = pv.dot(wi, ls["normal"])
+                ndl_e = pv.dot(wi, ev["snormal"])
+                sel = active & (ev["delta"] != 1.0) & (ev["vtype"] == V_SURFACE)
+                sh_o = pv.where(sel, surface, jnp.full((3, N), PARK))
+                t_sh, sh_prim = trace(scene, sh_o, -wi)
+                sel = sel & (sh_prim == ls["prim"]) & (t_sh > C.EPS)
+                brdf, pdf = disney_evaluate_pdf(
+                    ev["snormal"], -ev["wo"], -wi, ev["metallic"], ev["roughness"]
+                )
+                sel = sel & (pdf > 0.0)
+                g = jnp.abs(ndl_e * ndl_l) / jnp.maximum(t_sh * t_sh, 1e-12)
+                contrib = jnp.where(
+                    sel[None],
+                    g[None]
+                    * ev["beta"]
+                    * (brdf / jnp.maximum(pdf, 1e-12))[None]
+                    * ev["reflect"]
+                    * ls["emission"]
+                    / jnp.maximum(ls["choice_pdf"], 1e-12)[None],
+                    0.0,
+                )
+                # overrides: the sampled light IS light vertex 0 now
+                to = ev["pos"] - ls["pos"]
+                dist = jnp.maximum(pv.length(to), 1e-6)
+                to = to * (1.0 / dist)[None]
+                ldn = jnp.abs(pv.dot(to, ls["normal"]))
+                ov["light_rpdf_l1"] = None  # replaced below as sample-based
+                ov["sample_fpdf0"] = ls["choice_pdf"]
+                ov["eye_rpdf_e1"] = _cos_pdf(ldn) * ldn / (dist * dist)
+                # light.rpdf[0] (the sample) from the eye vertex (e>1 branch)
+                if e > 1:
+                    wi2 = eye[e - 2]["pos"] - ev["pos"]
+                    wo2 = ls["pos"] - ev["pos"]
+                    dist2 = jnp.maximum(pv.length(wo2), 1e-6)
+                    wi2 = pv.normalize(wi2)
+                    wo2 = pv.normalize(wo2)
+                    pdf2 = jnp.where(
+                        ev["mat_type"] == C.MAT_DISNEY,
+                        _disney_pdf(ev["snormal"], wi2, wo2, ev["metallic"], ev["roughness"]),
+                        1.0,
+                    )
+                    ov["light_rpdf_l1"] = (
+                        pdf2 * jnp.abs(pv.dot(ev["normal"], wo2)) / (dist2 * dist2)
+                    )
+                else:
+                    # e == 1 cannot reach here (skipped), guard anyway
+                    ov["light_rpdf_l1"] = jnp.zeros((N,), jnp.float32)
+                if e > 1:
+                    # eye.rpdf[e-2] from the sampled light through ev
+                    wi3 = ls["pos"] - ev["pos"]
+                    wo3 = eye[e - 2]["pos"] - ev["pos"]
+                    dist3 = jnp.maximum(pv.length(wo3), 1e-6)
+                    wi3 = pv.normalize(wi3)
+                    wo3 = pv.normalize(wo3)
+                    pdf3 = _disney_pdf(
+                        ev["snormal"], wi3, wo3, ev["metallic"], ev["roughness"]
+                    )
+                    r = pdf3 / (dist3 * dist3)
+                    r = r * jnp.where(
+                        eye[e - 2]["vtype"] == V_SURFACE,
+                        jnp.abs(pv.dot(ev["normal"], wo3)),
+                        1.0,
+                    )
+                    ov["eye_rpdf_e2"] = jnp.where(
+                        ev["vtype"] == V_SURFACE, r, 1.0
+                    )
+                sel_any = sel
+
+            else:
+                # surface-surface connection (reference :561-588)
+                lv = light[l - 1]
+                sel = (
+                    active
+                    & (lv["delta"] != 1.0)
+                    & (ev["delta"] != 1.0)
+                    & (ev["vtype"] == V_SURFACE)
+                    & (lv["vtype"] == V_SURFACE)
+                )
+                dirv = ev["pos"] - lv["pos"]
+                dist = jnp.maximum(pv.length(dirv), 1e-6)
+                dirv = dirv * (1.0 / dist)[None]
+                ndl_l = pv.dot(dirv, lv["snormal"])
+                ndl_e = pv.dot(dirv, ev["snormal"])
+                sh_o = pv.where(sel, lv["pos"], jnp.full((3, N), PARK))
+                t_sh, sh_prim = trace(scene, sh_o, dirv)
+                sel = sel & (sh_prim == ev["prim"]) & (t_sh > C.EPS)
+                brdf_l, pdf_l = disney_evaluate_pdf(
+                    lv["snormal"], -lv["wo"], dirv, lv["metallic"], lv["roughness"]
+                )
+                brdf_e, pdf_e = disney_evaluate_pdf(
+                    ev["snormal"], -ev["wo"], -dirv, ev["metallic"], ev["roughness"]
+                )
+                sel = sel & (brdf_l > 0.0) & (brdf_e > 0.0)
+                g = jnp.abs(ndl_e * ndl_l) / (dist * dist)
+                contrib = jnp.where(
+                    sel[None],
+                    g[None]
+                    * ev["beta"]
+                    * lv["beta"]
+                    * (brdf_l / jnp.maximum(pdf_l, 1e-12))[None]
+                    * (brdf_e / jnp.maximum(pdf_e, 1e-12))[None]
+                    * ev["reflect"]
+                    * lv["reflect"],
+                    0.0,
+                )
+                # overrides (reference :341-439 general branches)
+                # eye.rpdf[e-1]: from light[l-1] toward ev
+                wi2 = light[l - 2]["pos"] - lv["pos"] if l > 1 else -lv["wo"]
+                wo2 = ev["pos"] - lv["pos"]
+                dist2 = jnp.maximum(pv.length(wo2), 1e-6)
+                wi2n = pv.normalize(wi2) if l > 1 else pv.normalize(wi2)
+                wo2n = pv.normalize(wo2)
+                pdf2 = jnp.where(
+                    lv["mat_type"] == C.MAT_DISNEY,
+                    _disney_pdf(lv["snormal"], wi2n, wo2n, lv["metallic"], lv["roughness"]),
+                    1.0,
+                )
+                ov["eye_rpdf_e1"] = (
+                    pdf2 * jnp.abs(pv.dot(lv["normal"], wo2n)) / (dist2 * dist2)
+                )
+                # light.rpdf[l-1]: from ev toward light[l-1]
+                if e > 1:
+                    wi3 = eye[e - 2]["pos"] - ev["pos"]
+                    wo3 = lv["pos"] - ev["pos"]
+                    dist3 = jnp.maximum(pv.length(wo3), 1e-6)
+                    wi3 = pv.normalize(wi3)
+                    wo3 = pv.normalize(wo3)
+                    pdf3 = jnp.where(
+                        ev["mat_type"] == C.MAT_DISNEY,
+                        _disney_pdf(ev["snormal"], wi3, wo3, ev["metallic"], ev["roughness"]),
+                        1.0,
+                    )
+                    r3 = pdf3 * jnp.abs(pv.dot(ev["normal"], wo3)) / (dist3 * dist3)
+                    ov["light_rpdf_l1"] = jnp.where(ev["vtype"] == V_SURFACE, r3, 1.0)
+                # eye.rpdf[e-2]: through ev toward eye[e-2]
+                if e > 1:
+                    wi4 = lv["pos"] - ev["pos"]
+                    wo4 = eye[e - 2]["pos"] - ev["pos"]
+                    dist4 = jnp.maximum(pv.length(wo4), 1e-6)
+                    wi4 = pv.normalize(wi4)
+                    wo4 = pv.normalize(wo4)
+                    pdf4 = _disney_pdf(
+                        ev["snormal"], wi4, wo4, ev["metallic"], ev["roughness"]
+                    )
+                    r4 = pdf4 / (dist4 * dist4)
+                    r4 = r4 * jnp.where(
+                        eye[e - 2]["vtype"] == V_SURFACE,
+                        jnp.abs(pv.dot(ev["normal"], wo4)),
+                        1.0,
+                    )
+                    ov["eye_rpdf_e2"] = jnp.where(ev["vtype"] == V_SURFACE, r4, 1.0)
+                # light.rpdf[l-2]: through light[l-1] toward light[l-2]
+                if l > 1:
+                    lm = light[l - 2]
+                    wi5 = ev["pos"] - lv["pos"]
+                    wo5 = lm["pos"] - lv["pos"]
+                    dist5 = jnp.maximum(pv.length(wo5), 1e-6)
+                    wi5 = pv.normalize(wi5)
+                    wo5 = pv.normalize(wo5)
+                    pdf5 = jnp.where(
+                        lv["mat_type"] == C.MAT_DISNEY,
+                        _disney_pdf(lv["normal"], wi5, wo5, lv["metallic"], lv["roughness"]),
+                        1.0,
+                    )
+                    r5 = pdf5 / (dist5 * dist5)
+                    r5 = r5 * jnp.where(
+                        lm["vtype"] == V_SURFACE,
+                        jnp.abs(pv.dot(lv["normal"], wo5)),
+                        1.0,
+                    )
+                    ov["light_rpdf_l2"] = jnp.where(ev["vtype"] != V_LIGHT, r5, 1.0)
+                sel_any = sel
+
+            # MIS weight applies when all channels are positive
+            # (reference :590-591; otherwise weight stays 1)
+            pos_all = (
+                (contrib[0] > 0.0) & (contrib[1] > 0.0) & (contrib[2] > 0.0)
+            )
+            mw = _mis_weight(eye, light, e, l, ov)
+            mw = jnp.where(pos_all, mw, 1.0)
+            radiance = radiance + contrib * mw[None]
+
+    return radiance, splat
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def render_frame(scene, spec: CameraSpec, cam, frame, key):
+    """One progressive BDPT frame -> (W, H, 3) radiance."""
+    N = spec.width * spec.height
+    k_eye, k_light, k_conn = jax.random.split(key, 3)
+
+    eye, eye_count = build_eye_path(scene, spec, cam, frame, k_eye)
+    light, light_count = build_light_path(scene, N, k_light)
+    radiance, splat = _connections(
+        scene, spec, cam, eye, eye_count, light, light_count, k_conn
+    )
+    img = jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)
+    return img + splat

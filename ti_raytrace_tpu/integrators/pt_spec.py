@@ -1,0 +1,291 @@
+"""Hero-wavelength spectral path tracer (wavefront, planar).
+
+Re-architecture of reference integrator/PT_Spec.py: per pixel per frame
+one hero wavelength lambda0 in [360, 460) carries 4 correlated
+wavelengths (lambda0 + i*100nm); the 4-vector throughput rides the same
+wavefront machinery as pt_rgb.  Spectral data is pre-tabulated into
+hero matrices (spectral/spd.py) and per-material rgb2spec coefficients
+(scene/packs.py rows 32..39), so the loop stays gather-free.
+
+Reference quirks preserved for golden parity (PARITY.md):
+  * the emitter-hit MIS weight is dead code — perfect_spec is reset to 1
+    every bounce before the test (PT_Spec.py:219-231), so emitter hits
+    always count fully;
+  * emitter hits only register from the front side (direction.normal < 0);
+  * at glass, dispersion picks ONE of the 4 hero wavelengths for the
+    refracted direction but the full 4-vector throughput continues
+    (PT_Spec.py:242-244);
+  * no Beer-Lambert roulette (unlike PT_RGB);
+  * misses always shade the Hosek-Wilkie sky scaled by the D65 light
+    spectrum (PT_Spec.py:270-277).
+
+MAX_DEPTH = 10 (PT_Spec.py:26).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ti_raytrace_tpu.accel import trace, trace_shaded
+from ti_raytrace_tpu.bsdf.planar import disney_evaluate_pdf, disney_sample, glass_sample
+from ti_raytrace_tpu.camera import CameraSpec, ray_directions, ray_origins
+from ti_raytrace_tpu.core import constants as C
+from ti_raytrace_tpu.ops import planar as pv
+from ti_raytrace_tpu.ops.shading import decode_hit
+from ti_raytrace_tpu.scene.sample_planar import sample_li
+from ti_raytrace_tpu.spectral import spd as spd_mod
+from ti_raytrace_tpu.utils.geometry import bk7_ior
+from ti_raytrace_tpu.utils.sampling import power_heuristic
+
+MAX_DEPTH = 10
+
+
+class SpectralData(NamedTuple):
+    """Device-side spectral tables, all hero-matrix form (R, HERO_BINS)."""
+    d65_hero: jnp.ndarray       # (4, NB) normalized D65 (Y-white = 1)
+    cie_hero: jnp.ndarray       # (12, NB): x(4), y(4), z(4) rows
+    spd_hero: jnp.ndarray       # (12, NB): white(4), red(4), green(4)
+    sky_configs: jnp.ndarray    # (11, 9)
+    sky_radiances: jnp.ndarray  # (11,)
+    sun_dir: jnp.ndarray        # (3,)
+    cie_span: float             # sensor lambda_max - lambda_min
+
+
+def make_spectral_data(turbidity=3.0, albedo=0.5, elevation=0.17) -> SpectralData:
+    """Host precompute.  Sky defaults match the reference's PT_Spec
+    constructor (PT_Spec.py:49: Sky(3.0, 0.5, 0.17))."""
+    from ti_raytrace_tpu.io.assets import asset_path
+    from ti_raytrace_tpu.sky.hosek import build_sky
+    from ti_raytrace_tpu.spectral.cie import load_cie_sensor, normalized_d65
+    from ti_raytrace_tpu.spectral.spd import hero_matrix, load_spd_csv
+
+    sensor = load_cie_sensor()
+    d65 = normalized_d65(sensor)
+
+    d65_hero = hero_matrix(d65.sample)
+    cie = np.concatenate(
+        [hero_matrix(lambda l: sensor.sample(l)[..., k]) for k in range(3)], axis=0
+    )
+    spds = np.concatenate(
+        [
+            hero_matrix(load_spd_csv(asset_path(f"spectrum/{name}-spec.csv")).sample)
+            for name in ("white", "red", "green")
+        ],
+        axis=0,
+    )
+    sky = build_sky(turbidity, albedo, elevation)
+    return SpectralData(
+        d65_hero=jnp.asarray(d65_hero, jnp.float32),
+        cie_hero=jnp.asarray(cie, jnp.float32),
+        spd_hero=jnp.asarray(spds, jnp.float32),
+        sky_configs=jnp.asarray(sky.configs, jnp.float32),
+        sky_radiances=jnp.asarray(sky.radiances, jnp.float32),
+        sun_dir=jnp.asarray(sky.sun_dir, jnp.float32),
+        cie_span=float(sensor.lambda_max - sensor.lambda_min),
+    )
+
+
+def _eval_rgb2spec(c0, c1, c2, lam4):
+    """Sigmoid spectrum at the 4 hero wavelengths; coefficient rows (N,),
+    lam4 (4, N) -> (4, N) (reference Rgb2Spec.eval)."""
+    x = (c0[None] * lam4 + c1[None]) * lam4 + c2[None]
+    return 0.5 * x * jax.lax.rsqrt(x * x + 1.0) + 0.5
+
+
+def _bounce(scene, sdata, carry, key):
+    o = carry["origin"]
+    d = carry["direction"]
+    alive = carry["alive"]
+    lam4 = carry["lam4"]          # (4, N) hero wavelengths
+    light_rad = carry["light_rad"]  # (4, N) d65 at the hero wavelengths
+    spd_vals = carry["spd_vals"]    # (12, N) measured SPDs at hero lambdas
+    N = o.shape[1]
+
+    u = jax.random.uniform(key, (8, N), dtype=jnp.float32)
+    u_nee = u[0:3]
+    u_bsdf = u[3:6]
+    u_hero = u[6]
+
+    t, prim, uv_bary, attr = trace_shaded(scene, o, d)
+    hit = decode_hit(o, d, t, prim, uv_bary, attr)
+    valid = hit.valid & alive
+    fnormal = pv.faceforward(hit.normal, -d, hit.gnormal)
+
+    throughput = carry["throughput"]  # (4, N)
+    radiance = carry["radiance"]      # (4, N)
+
+    # per-hit spectral quantities from the packed attribute rows
+    refl_spec_rgb = _eval_rgb2spec(attr[32], attr[33], attr[34], lam4)
+    em_tint = _eval_rgb2spec(attr[35], attr[36], attr[37], lam4) * attr[38][None]
+    spd_id = attr[39]
+    spectral_sel = jnp.stack(
+        [spd_vals[0:4], spd_vals[4:8], spd_vals[8:12]], axis=0
+    )  # (3, 4, N)
+    measured = jnp.where(
+        (spd_id == 0.0)[None],
+        spectral_sel[0],
+        jnp.where((spd_id == 1.0)[None], spectral_sel[1], spectral_sel[2]),
+    )
+    reflect_spec = jnp.where((spd_id >= 0.0)[None], measured, refl_spec_rgb)
+
+    # ---- miss: Hosek-Wilkie sky * D65 (PT_Spec.py:270-277) ------------
+    miss = alive & ~hit.valid
+    carry_miss_dir = pv.where(miss, d, carry["miss_dir"])
+    carry_miss_w = jnp.where(miss[None], throughput * light_rad, carry["miss_weight"])
+
+    # ---- emitter hit: full contribution, front side only --------------
+    fcos = pv.dot(d, hit.normal)
+    is_light = valid & (hit.mat_type == C.MAT_LIGHT) & (fcos < 0.0)
+    radiance = radiance + jnp.where(
+        is_light[None], throughput * light_rad * em_tint, 0.0
+    )
+
+    # ---- glass: dispersive delta bounce (PT_Spec.py:240-244) ----------
+    is_glass = valid & (hit.mat_type == C.MAT_GLASS)
+    hero_idx = jnp.minimum((u_hero * 4).astype(jnp.int32), 3)
+    lam_rnd = lam4[0] + hero_idx.astype(jnp.float32) * spd_mod.LAMBDA_STEP
+    g_dir, g_forb = glass_sample(u_bsdf[0], d, hit.normal, bk7_ior(lam_rnd))
+
+    # ---- disney: NEE + continuation (PT_Spec.py:245-261) --------------
+    is_disney = valid & (hit.mat_type != C.MAT_GLASS) & (hit.mat_type != C.MAT_LIGHT)
+    ls = sample_li(scene, hit.pos, u_nee)
+    ndl_surf = pv.dot(fnormal, ls["direction"])
+    ndl_light = pv.dot(ls["normal"], ls["direction"])
+    nee_geo_ok = is_disney & (ndl_surf < 0.0) & (ndl_light > 0.0)
+    sh_o = pv.where(is_disney, ls["pos"], jnp.full_like(ls["pos"], 1e9))
+    _, sh_prim = trace(scene, sh_o, ls["direction"])
+    unoccluded = sh_prim == prim
+    nee_brdf, nee_pdf = disney_evaluate_pdf(
+        fnormal, -d, -ls["direction"], hit.mat_p0, hit.mat_p1
+    )
+    # light emission spectrum from the light pack's spectral rows
+    nee_em_tint = (
+        _eval_rgb2spec(ls["em_c0"], ls["em_c1"], ls["em_c2"], lam4)
+        * ls["em_scale"][None]
+        * ls["vis"][None]
+    )
+    light_pdf = ls["dist"] * ls["dist"] * ls["choice_pdf"] / jnp.maximum(ndl_light, 1e-12)
+    nee_ok = nee_geo_ok & unoccluded & (nee_pdf > 0.0)
+    nee_w = (
+        power_heuristic(light_pdf, nee_pdf)
+        / jnp.maximum(light_pdf, 1e-4)
+        * nee_brdf
+        * jnp.abs(ndl_surf)
+    )
+    radiance = radiance + jnp.where(
+        nee_ok[None],
+        nee_w[None] * light_rad * nee_em_tint * throughput * reflect_spec,
+        0.0,
+    )
+
+    d_dir = disney_sample(u_bsdf, d, fnormal, hit.mat_p0, hit.mat_p1)
+    d_brdf, d_pdf = disney_evaluate_pdf(fnormal, -d, d_dir, hit.mat_p0, hit.mat_p1)
+    d_brdf = d_brdf * jnp.abs(pv.dot(hit.normal, d_dir))
+
+    # ---- merge ---------------------------------------------------------
+    next_dir = pv.where(is_glass, g_dir, d_dir)
+    f_or_b = jnp.where(is_glass, g_forb, 1.0)
+    brdf = jnp.where(is_glass, 1.0, d_brdf)
+    brdf_pdf = jnp.where(is_glass, 1.0, d_pdf)
+    next_origin = pv.offset_ray(hit.pos, fnormal * pv.sign_nonzero(f_or_b)[None])
+
+    tmax = jnp.max(throughput, axis=0)
+    cont = (is_glass | is_disney) & (brdf_pdf > 0.0) & (tmax > 0.0)
+    throughput = jnp.where(
+        cont[None],
+        throughput * reflect_spec * (brdf / jnp.maximum(brdf_pdf, 1e-12))[None],
+        throughput,
+    )
+
+    return dict(
+        origin=pv.where(cont, next_origin, jnp.full_like(o, 1e9)),
+        direction=pv.where(cont, next_dir, d),
+        throughput=throughput,
+        radiance=radiance,
+        alive=cont,
+        lam4=lam4,
+        light_rad=light_rad,
+        spd_vals=spd_vals,
+        miss_dir=carry_miss_dir,
+        miss_weight=carry_miss_w,
+    )
+
+
+def trace_paths_spec(scene, sdata: SpectralData, o, d, key, max_depth: int = MAX_DEPTH):
+    """Spectral path trace of a planar wavefront -> linear sRGB (3, N)."""
+    N = o.shape[1]
+    k_lam, k_path = jax.random.split(key)
+    u_lam = jax.random.uniform(k_lam, (N,), dtype=jnp.float32)
+    lam0 = spd_mod.LAMBDA_MIN + u_lam * spd_mod.LAMBDA_STEP
+    lam4 = lam0[None, :] + jnp.arange(4, dtype=jnp.float32)[:, None] * spd_mod.LAMBDA_STEP
+
+    onehot = spd_mod.hero_onehot(u_lam)          # (NB, N)
+    light_rad = spd_mod.hero_select(sdata.d65_hero, onehot)
+    spd_vals = spd_mod.hero_select(sdata.spd_hero, onehot)
+    cie_vals = spd_mod.hero_select(sdata.cie_hero, onehot)  # (12, N)
+
+    carry = dict(
+        origin=o,
+        direction=d,
+        throughput=jnp.ones((4, N), jnp.float32),
+        radiance=jnp.zeros((4, N), jnp.float32),
+        alive=jnp.ones((N,), bool),
+        lam4=lam4,
+        light_rad=light_rad,
+        spd_vals=spd_vals,
+        miss_dir=jnp.zeros((3, N), jnp.float32),
+        miss_weight=jnp.zeros((4, N), jnp.float32),
+    )
+
+    def cond(state):
+        depth, c = state
+        return (depth < max_depth) & jnp.any(c["alive"])
+
+    def body(state):
+        depth, c = state
+        c = _bounce(scene, sdata, c, jax.random.fold_in(k_path, depth))
+        return depth + 1, c
+
+    _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+
+    # deferred sky pass for escaped lanes (PT_Spec.py:270-277)
+    md = carry["miss_dir"]
+    missed = jnp.any(carry["miss_weight"] != 0.0, axis=0)
+    dis = jnp.sqrt(md[0] * md[0] + md[2] * md[2])
+    beta = jnp.arctan2(md[1], dis)
+    cosg = jnp.clip(pv.dot(md, sdata.sun_dir[:, None] * jnp.ones((1, N))), -1.0, 1.0)
+    gamma = jnp.arccos(cosg)
+    theta = jnp.clip(0.5 * C.PI - beta, 0.0, 0.5 * C.PI)
+    from ti_raytrace_tpu.sky.hosek import sky_radiance_hero
+
+    sky_spec = sky_radiance_hero(sdata.sky_configs, sdata.sky_radiances, theta, gamma, lam4)
+    radiance = carry["radiance"] + jnp.where(
+        missed[None], sky_spec * carry["miss_weight"], 0.0
+    )
+
+    # splat: MC spectral -> XYZ -> linear sRGB (PT_Spec.AddSplat:149-166)
+    span = sdata.cie_span / 4.0
+    x = jnp.sum(cie_vals[0:4] * radiance, axis=0) * span
+    y = jnp.sum(cie_vals[4:8] * radiance, axis=0) * span
+    z = jnp.sum(cie_vals[8:12] * radiance, axis=0) * span
+    xyz = jnp.stack([x, y, z], axis=0)  # (3, N)
+    m = jnp.asarray(C.XYZ_TO_SRGB)
+    return jnp.einsum("rc,cn->rn", m, xyz)
+
+
+def make_render_frame(turbidity=3.0, albedo=0.5, elevation=0.17):
+    """Build a jitted render_frame closing over the spectral tables."""
+    sdata = make_spectral_data(turbidity, albedo, elevation)
+
+    @partial(jax.jit, static_argnames=("spec",))
+    def render_frame(scene, spec: CameraSpec, cam, frame, key):
+        k_cam, k_path = jax.random.split(key)
+        o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
+        d = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
+        rgb = trace_paths_spec(scene, sdata, o, d, k_path)
+        return jnp.swapaxes(rgb, 0, 1).reshape(spec.width, spec.height, 3)
+
+    return render_frame

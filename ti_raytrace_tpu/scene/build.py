@@ -131,7 +131,7 @@ class SceneBuilder:
             mat = np.zeros((0,), np.int32)
         return pos, nrm, uv, mat
 
-    def build(self, smooth_normals: bool = False) -> SceneData:
+    def build(self, smooth_normals: bool = False, spectral: bool = False) -> SceneData:
         pos, nrm, uv, tri_mat = self._concat_tris()
         T = pos.shape[0]
         S = len(self.shapes)
@@ -257,8 +257,8 @@ class SceneBuilder:
         from ti_raytrace_tpu.accel.clusters import build_clusters
         from ti_raytrace_tpu.scene.packs import build_light_attr, build_prim_attr
 
-        host["prim_attr"] = build_prim_attr(host)
-        host["light_attr"] = build_light_attr(host)
+        host["prim_attr"] = build_prim_attr(host, spectral=spectral)
+        host["light_attr"] = build_light_attr(host, spectral=spectral)
         host.update(build_clusters(host))
         return device_scene(host)
 

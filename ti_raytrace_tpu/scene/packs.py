@@ -24,6 +24,13 @@ PRIM_ATTR (A = 32) — everything needed at a hit point:
   29    shape radius (param0)
   30    mat index
   31    mat_tex (albedo texture id)
+  -- spectral extension (filled when the builder runs with spectral=True;
+     per-MATERIAL rgb2spec fetches happen on the host at build time so the
+     render loop never touches the 64^3 table) --
+  32:34 rgb2spec sigmoid coefficients of srgb_to_lrgb(mat_color)
+  35:37 rgb2spec coefficients of the emission tint (emission/|emission|)
+  38    emission scale |emission|  (PT_Spec.emission_to_rad)
+  39    measured-SPD selector: mat_tex for MAT_SPECTRAL, else -1
 
 LIGHT_ATTR (B = 32) — everything needed to sample an emitter:
    0: 2 v1 (tri corner) | shape position
@@ -40,17 +47,19 @@ LIGHT_ATTR (B = 32) — everything needed to sample an emitter:
   29    param1 (x2)
   30    param2 (scale)
   31    pad
+  32:34 rgb2spec coefficients of the emission tint (spectral ext.)
+  35    emission scale
 """
 
 import numpy as np
 
 from ti_raytrace_tpu.core import constants as C
 
-PRIM_A = 32
-LIGHT_A = 32
+PRIM_A = 40
+LIGHT_A = 40
 
 
-def build_prim_attr(host: dict) -> np.ndarray:
+def build_prim_attr(host: dict, spectral: bool = False) -> np.ndarray:
     """(PRIM_A, P) float32 from the host scene dict (see scene/build.py)."""
     P = host["prim_type"].shape[0]
     A = np.zeros((PRIM_A, P), np.float32)
@@ -91,10 +100,40 @@ def build_prim_attr(host: dict) -> np.ndarray:
     A[29, :] = np.where(is_tri, 0.0, host["shape_param"][sidx, 0])
     A[30, :] = pmat
     A[31, :] = host["mat_tex"][pmat]
+    if spectral:
+        refl_c, em_c, em_s = _material_spectral_rows(host)
+        A[32:35, :] = refl_c[pmat].T
+        A[35:38, :] = em_c[pmat].T
+        A[38, :] = em_s[pmat]
+        A[39, :] = np.where(
+            host["mat_type"][pmat] == C.MAT_SPECTRAL,
+            host["mat_tex"][pmat].astype(np.float32),
+            -1.0,
+        )
     return A
 
 
-def build_light_attr(host: dict) -> np.ndarray:
+def _material_spectral_rows(host):
+    """Per-material rgb2spec coefficients (host-side fetch;
+    reference Hero.srgb_to_spec + PT_Spec.emission_to_rad)."""
+    from ti_raytrace_tpu.spectral.rgb2spec import load_table
+    from ti_raytrace_tpu.utils import colorsp
+
+    table = load_table()
+    color = host["mat_color"].astype(np.float64)
+
+    def s2l(c):
+        c = np.clip(c, 0.0, None)
+        return np.where(c < 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+    refl_c = table.fetch(s2l(np.clip(color, 0.0, 1.0)))
+    scale = np.linalg.norm(color, axis=-1)
+    tint = np.where(scale[:, None] > 0.0, color / np.maximum(scale[:, None], 1e-20), 0.0)
+    em_c = table.fetch(s2l(tint))
+    return refl_c.astype(np.float32), em_c.astype(np.float32), scale.astype(np.float32)
+
+
+def build_light_attr(host: dict, spectral: bool = False) -> np.ndarray:
     """(LIGHT_A, L) float32."""
     lp = host["light_prim"]
     L = lp.shape[0]
@@ -130,4 +169,8 @@ def build_light_attr(host: dict) -> np.ndarray:
     B[28, :] = np.where(is_tri, 0.0, sparam[:, 0])
     B[29, :] = np.where(is_tri, 0.0, sparam[:, 1])
     B[30, :] = np.where(is_tri, 0.0, sparam[:, 2])
+    if spectral:
+        _, em_c, em_s = _material_spectral_rows(host)
+        B[32:35, :] = em_c[pmat].T
+        B[35, :] = em_s[pmat]
     return B
