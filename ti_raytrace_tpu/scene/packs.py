@@ -129,7 +129,13 @@ def _material_spectral_rows(host):
     refl_c = table.fetch(s2l(np.clip(color, 0.0, 1.0)))
     scale = np.linalg.norm(color, axis=-1)
     tint = np.where(scale[:, None] > 0.0, color / np.maximum(scale[:, None], 1e-20), 0.0)
-    em_c = table.fetch(s2l(tint))
+    # Emission tint: fetched WITHOUT the sRGB decode, so the effective
+    # emission luminance (|emission| * tint) matches the RGB pipeline.
+    # The reference decodes (PT_Spec.py:116 -> srgb_to_spec) but its lost
+    # table was fitted with inconsistent lambda units and an unnormalized
+    # white point (JakobSpecTable.py:268-281 vs Rgb2Spec.py:135-138), and
+    # its published render matches the undecoded brightness (PARITY.md).
+    em_c = table.fetch(tint)
     return refl_c.astype(np.float32), em_c.astype(np.float32), scale.astype(np.float32)
 
 
