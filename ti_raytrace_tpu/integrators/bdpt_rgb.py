@@ -18,11 +18,12 @@ Re-architecture of reference integrator/BDPT_RGB.py for TPU:
     into a pure weight function.
 
 Parity notes (PARITY.md): the reference's mis_weight compares the
-material *index* against MAT_DISNEY==0 (BDPT_RGB.py:364,379,432 —
-`light.mat` holds an index), so only material #0 ever contributes a real
-reverse pdf; we use the material *type*, which is what the surrounding
-code plainly intends.  Everything else (remap0 semantics, delta masking,
-vertex-area pdf conversions, beta conventions including the emitter-hit
+material *index* against MAT_DISNEY==0 at three sites
+(BDPT_RGB.py:364,379,432 — `light.mat` holds an index), so only material
+#0 contributes a real reverse pdf there; the published goldens embody
+that weighting, so it is replicated verbatim (_QUIRK_MAT_INDEX).
+Everything else (remap0 semantics, delta masking, vertex-area pdf
+conversions, beta conventions including the emitter-hit
 beta = beta*emission*|n.d|) follows the reference exactly.
 """
 
@@ -48,6 +49,15 @@ V_NONE, V_LIGHT, V_LENS, V_SURFACE = 0, 1, 2, 3
 
 PARK = 1e9
 
+# replicate the reference's material-index-vs-type comparison in MIS
+_QUIRK_MAT_INDEX = True
+
+
+def _quirk_is_disney(v):
+    if _QUIRK_MAT_INDEX:
+        return v["mat_index"] == 0
+    return v["mat_type"] == C.MAT_DISNEY
+
 
 def _cos_pdf(c):
     return jnp.maximum(0.01, c / C.PI)
@@ -66,11 +76,12 @@ def _empty_vertex(N):
         fpdf=z, rpdf=z, delta=z, area=z, metallic=z, roughness=z,
         vtype=jnp.zeros((N,), jnp.int32), prim=jnp.full((N,), -1, jnp.int32),
         mat_type=jnp.zeros((N,), jnp.int32),
+        mat_index=jnp.zeros((N,), jnp.int32),
     )
 
 
 def _walk(scene, origin, direction, beta0, fpdf0, vertex0, max_depth, key,
-          is_light_path):
+          is_light_path, spec_ctx=None):
     """Shared subpath random walk (reference eye_path:105-198 /
     light_path:201-294).  Returns list of per-depth vertex dicts and the
     per-lane vertex count."""
@@ -92,7 +103,10 @@ def _walk(scene, origin, direction, beta0, fpdf0, vertex0, max_depth, key,
         hit = decode_hit(o_t, d, t, prim, uv_bary, attr)
         valid = hit.valid & alive
         fnormal = pv.faceforward(hit.normal, -d, hit.gnormal)
-        reflect = srgb_to_lrgb(hit.mat_color)
+        if spec_ctx is None:
+            reflect = srgb_to_lrgb(hit.mat_color)
+        else:
+            reflect = spec_ctx.reflect_power(attr)
         is_light_mat = hit.mat_type == C.MAT_LIGHT
 
         prev = verts[depth - 1]
@@ -117,17 +131,24 @@ def _walk(scene, origin, direction, beta0, fpdf0, vertex0, max_depth, key,
         vt["fpdf"] = jnp.where(store, pdf_fwd * geo_fwd, vt["fpdf"])
         vt["prim"] = jnp.where(store, prim, vt["prim"])
         vt["mat_type"] = jnp.where(store, hit.mat_type, vt["mat_type"])
+        vt["mat_index"] = jnp.where(store, attr[30].astype(jnp.int32), vt["mat_index"])
         vt["metallic"] = jnp.where(store, hit.mat_p0, vt["metallic"])
         vt["roughness"] = jnp.where(store, hit.mat_p1, vt["roughness"])
         vt["area"] = jnp.where(store, hit.area, vt["area"])
 
         if not is_light_path:
             # emitter hit terminates the eye walk with a light vertex
-            # (beta folds emission and |n.d|, reference :148-152)
+            # (beta folds emission and |n.d|, reference :148-152; the
+            # spectral variant folds the light power without the cosine,
+            # BDPT_SPEC.py:228)
             lhit = valid & is_light_mat
+            if spec_ctx is None:
+                light_beta = beta * hit.mat_color * jnp.abs(pv.dot(hit.normal, d))[None]
+            else:
+                light_beta = beta * spec_ctx.light_power_attr(attr)
             vt["beta"] = pv.where(
                 lhit,
-                beta * hit.mat_color * jnp.abs(pv.dot(hit.normal, d))[None],
+                light_beta,
                 pv.where(store, beta * jnp.abs(pv.dot(d, hit.normal))[None], vt["beta"]),
             )
             vt["vtype"] = jnp.where(
@@ -143,7 +164,15 @@ def _walk(scene, origin, direction, beta0, fpdf0, vertex0, max_depth, key,
 
         # ---- sample the continuation --------------------------------
         is_glass = continue_mask & (hit.mat_type == C.MAT_GLASS)
-        g_dir, g_forb = glass_sample(u[0], d, hit.normal, hit.mat_p0)
+        if spec_ctx is None:
+            glass_ior = hit.mat_p0
+        else:
+            # dispersive glass at the path's single wavelength
+            # (BDPT_SPEC.py:241,335 -> Glass.sample_lambda)
+            from ti_raytrace_tpu.utils.geometry import bk7_ior
+
+            glass_ior = bk7_ior(spec_ctx.lam)
+        g_dir, g_forb = glass_sample(u[0], d, hit.normal, glass_ior)
         d_dir = disney_sample(u[0:3], d, fnormal, hit.mat_p0, hit.mat_p1)
         d_brdf, d_pdf = disney_evaluate_pdf(fnormal, -d, d_dir, hit.mat_p0, hit.mat_p1)
 
@@ -182,8 +211,9 @@ def _walk(scene, origin, direction, beta0, fpdf0, vertex0, max_depth, key,
     return verts, count
 
 
-def build_eye_path(scene, spec, cam, frame, key):
+def build_eye_path(scene, spec, cam, frame, key, spec_ctx=None):
     N = spec.width * spec.height
+    C_ = 1 if spec_ctx is not None else 3
     k_cam, k_walk = jax.random.split(key)
     o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
     d = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
@@ -191,17 +221,17 @@ def build_eye_path(scene, spec, cam, frame, key):
     v0 = _empty_vertex(N)
     v0["pos"] = o
     v0["normal"] = d  # reference stores the ray direction (:114)
-    v0["beta"] = jnp.ones((3, N), jnp.float32)
+    v0["beta"] = jnp.ones((C_, N), jnp.float32)
     v0["fpdf"] = jnp.ones((N,), jnp.float32)
     v0["vtype"] = jnp.full((N,), V_LENS, jnp.int32)
 
     return _walk(
-        scene, o, d, jnp.ones((3, N), jnp.float32), jnp.ones((N,), jnp.float32),
-        v0, EYE_MAX_DEPTH, k_walk, is_light_path=False,
+        scene, o, d, jnp.ones((C_, N), jnp.float32), jnp.ones((N,), jnp.float32),
+        v0, EYE_MAX_DEPTH, k_walk, is_light_path=False, spec_ctx=spec_ctx,
     )
 
 
-def build_light_path(scene, N, key):
+def build_light_path(scene, N, key, spec_ctx=None):
     k_sample, k_walk = jax.random.split(key)
     u6 = jax.random.uniform(k_sample, (6, N), dtype=jnp.float32)
     ls = sample_light(scene, u6)
@@ -211,7 +241,11 @@ def build_light_path(scene, N, key):
     v0["pos"] = ls["pos"]
     v0["normal"] = ls["normal"]
     v0["snormal"] = ls["normal"]
-    v0["beta"] = ls["emission"] / jnp.maximum(light_pdf, 1e-12)[None]
+    if spec_ctx is None:
+        emission = ls["emission"]
+    else:
+        emission = spec_ctx.light_power_sample(ls)
+    v0["beta"] = emission / jnp.maximum(light_pdf, 1e-12)[None]
     v0["fpdf"] = light_pdf
     v0["wo"] = ls["direction"]
     v0["vtype"] = jnp.full((N,), V_LIGHT, jnp.int32)
@@ -221,7 +255,7 @@ def build_light_path(scene, N, key):
     o = ls["pos"]
     return _walk(
         scene, o, ls["direction"], beta0, ls["dir_pdf"], v0,
-        LIGHT_MAX_DEPTH, k_walk, is_light_path=True,
+        LIGHT_MAX_DEPTH, k_walk, is_light_path=True, spec_ctx=spec_ctx,
     )
 
 
@@ -293,23 +327,32 @@ def _light_origin_pdf(ev):
     return 1.0 / jnp.maximum(ev["area"], 1e-12)
 
 
-def _connections(scene, spec, cam, eye, eye_count, light, light_count, key):
-    """All (e, l) strategies; returns (radiance (3,N), splat image)."""
+def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
+                 spec_ctx=None):
+    """All (e, l) strategies; returns (radiance (C,N), splat image)."""
     N = eye[0]["pos"].shape[1]
-    radiance = jnp.zeros((3, N), jnp.float32)
+    C_ = 1 if spec_ctx is not None else 3
+    radiance = jnp.zeros((C_, N), jnp.float32)
     splat = jnp.zeros((spec.width, spec.height, 3), jnp.float32)
     n_lights = jnp.float32(scene.n_lights)
 
+    import os
+
+    allow = os.environ.get("TIRAY_BDPT_STRATEGIES")  # e.g. "l<=1" debug
     for e in range(1, EYE_MAX_DEPTH + 1):
         for l in range(0, LIGHT_MAX_DEPTH + 1):
             depth = l + e - 2
             if (l == 1 and e == 1) or depth < 0 or depth > MAX_DEPTH:
                 continue
+            if allow == "l<=1" and (l > 1 or e == 1):
+                continue
+            if allow == "noe1" and e == 1:
+                continue
             k = jax.random.fold_in(key, e * 16 + l)
             ev = eye[e - 1]
             active = (eye_count >= e) & ((light_count >= l) if l > 0 else True)
 
-            contrib = jnp.zeros((3, N), jnp.float32)
+            contrib = jnp.zeros((C_, N), jnp.float32)
             ov = {}
 
             if l == 0:
@@ -377,7 +420,7 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key):
                     wi2 = pv.normalize(wi2)
                     wo2 = pv.normalize(wo2)
                     pdf2 = jnp.where(
-                        lv["mat_type"] == C.MAT_DISNEY,
+                        _quirk_is_disney(lv),
                         _disney_pdf(lv["normal"], wi2, wo2, lv["metallic"], lv["roughness"]),
                         1.0,
                     )
@@ -392,6 +435,8 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key):
                 # splat into the camera image at (px, py)
                 mw = _mis_weight(eye, light, e, l, ov)
                 val = contrib * mw[None]
+                if spec_ctx is not None:
+                    val = spec_ctx.to_rgb(val)  # (3, N)
                 flat = jnp.swapaxes(val, 0, 1)  # (N, 3)
                 pxc = jnp.clip(px, 0, spec.width - 1)
                 pyc = jnp.clip(py, 0, spec.height - 1)
@@ -417,13 +462,17 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key):
                 )
                 sel = sel & (pdf > 0.0)
                 g = jnp.abs(ndl_e * ndl_l) / jnp.maximum(t_sh * t_sh, 1e-12)
+                if spec_ctx is None:
+                    emission = ls["emission"]
+                else:
+                    emission = spec_ctx.light_power_sample(ls)
                 contrib = jnp.where(
                     sel[None],
                     g[None]
                     * ev["beta"]
                     * (brdf / jnp.maximum(pdf, 1e-12))[None]
                     * ev["reflect"]
-                    * ls["emission"]
+                    * emission
                     / jnp.maximum(ls["choice_pdf"], 1e-12)[None],
                     0.0,
                 )
@@ -443,7 +492,7 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key):
                     wi2 = pv.normalize(wi2)
                     wo2 = pv.normalize(wo2)
                     pdf2 = jnp.where(
-                        ev["mat_type"] == C.MAT_DISNEY,
+                        _quirk_is_disney(ev),
                         _disney_pdf(ev["snormal"], wi2, wo2, ev["metallic"], ev["roughness"]),
                         1.0,
                     )
@@ -519,7 +568,7 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key):
                 wi2n = pv.normalize(wi2) if l > 1 else pv.normalize(wi2)
                 wo2n = pv.normalize(wo2)
                 pdf2 = jnp.where(
-                    lv["mat_type"] == C.MAT_DISNEY,
+                    _quirk_is_disney(lv),
                     _disney_pdf(lv["snormal"], wi2n, wo2n, lv["metallic"], lv["roughness"]),
                     1.0,
                 )
@@ -534,7 +583,7 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key):
                     wi3 = pv.normalize(wi3)
                     wo3 = pv.normalize(wo3)
                     pdf3 = jnp.where(
-                        ev["mat_type"] == C.MAT_DISNEY,
+                        _quirk_is_disney(ev),
                         _disney_pdf(ev["snormal"], wi3, wo3, ev["metallic"], ev["roughness"]),
                         1.0,
                     )
@@ -566,7 +615,7 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key):
                     wi5 = pv.normalize(wi5)
                     wo5 = pv.normalize(wo5)
                     pdf5 = jnp.where(
-                        lv["mat_type"] == C.MAT_DISNEY,
+                        _quirk_is_disney(lv),
                         _disney_pdf(lv["normal"], wi5, wo5, lv["metallic"], lv["roughness"]),
                         1.0,
                     )
@@ -581,9 +630,7 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key):
 
             # MIS weight applies when all channels are positive
             # (reference :590-591; otherwise weight stays 1)
-            pos_all = (
-                (contrib[0] > 0.0) & (contrib[1] > 0.0) & (contrib[2] > 0.0)
-            )
+            pos_all = jnp.all(contrib > 0.0, axis=0)
             mw = _mis_weight(eye, light, e, l, ov)
             mw = jnp.where(pos_all, mw, 1.0)
             radiance = radiance + contrib * mw[None]
@@ -591,16 +638,23 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key):
     return radiance, splat
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def render_frame(scene, spec: CameraSpec, cam, frame, key):
-    """One progressive BDPT frame -> (W, H, 3) radiance."""
+def render_paths(scene, spec: CameraSpec, cam, frame, key, spec_ctx=None):
+    """Shared frame body: subpaths + connections -> (W, H, 3) radiance."""
     N = spec.width * spec.height
     k_eye, k_light, k_conn = jax.random.split(key, 3)
 
-    eye, eye_count = build_eye_path(scene, spec, cam, frame, k_eye)
-    light, light_count = build_light_path(scene, N, k_light)
+    eye, eye_count = build_eye_path(scene, spec, cam, frame, k_eye, spec_ctx)
+    light, light_count = build_light_path(scene, N, k_light, spec_ctx)
     radiance, splat = _connections(
-        scene, spec, cam, eye, eye_count, light, light_count, k_conn
+        scene, spec, cam, eye, eye_count, light, light_count, k_conn, spec_ctx
     )
+    if spec_ctx is not None:
+        radiance = spec_ctx.to_rgb(radiance)
     img = jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)
     return img + splat
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def render_frame(scene, spec: CameraSpec, cam, frame, key):
+    """One progressive BDPT frame -> (W, H, 3) radiance."""
+    return render_paths(scene, spec, cam, frame, key)

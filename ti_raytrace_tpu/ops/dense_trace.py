@@ -16,6 +16,7 @@ All wavefront tensors are planar: rays are (3, N), attributes (32, N),
 with the wavefront on the 128-wide lane axis.
 """
 
+import jax
 import jax.numpy as jnp
 
 from ti_raytrace_tpu.core import constants as C
@@ -104,45 +105,93 @@ def trace_shaded(scene, o, d):
 
 
 def _sweep(scene, o, d, want_uv: bool):
+    """Block sweep as a `lax.fori_loop` over padded prim blocks — graph
+    size stays O(1) in the prim count (the BDPT frame graph contains ~50
+    traces; a Python-unrolled block loop would explode compile time)."""
     N = o.shape[1]
     P = scene.n_prims
     A = scene.prim_attr.shape[0]
+    n_blocks = (P + BLOCK - 1) // BLOCK
+    P_pad = n_blocks * BLOCK
+    pad = P_pad - P
 
-    best_t = jnp.full((N,), C.INF, jnp.float32)
-    best_prim = jnp.full((N,), -1, jnp.int32)
-    best_uv = jnp.zeros((2, N), jnp.float32)
-    best_attr = jnp.zeros((A, N), jnp.float32)
+    # pad the hot arrays so every dynamic block slice is in-bounds;
+    # padded prims are degenerate (type NONE -> INF)
+    sc = dict(
+        tri_v0=jnp.pad(scene.tri_v0, ((0, pad), (0, 0))),
+        tri_e1=jnp.pad(scene.tri_e1, ((0, pad), (0, 0))),
+        tri_e2=jnp.pad(scene.tri_e2, ((0, pad), (0, 0))),
+        prim_type=jnp.pad(scene.prim_type, (0, pad)),
+        prim_vidx=jnp.pad(scene.prim_vidx, (0, pad)),
+        shape_type=scene.shape_type,
+        shape_pos=scene.shape_pos,
+        shape_param=scene.shape_param,
+    )
+    attr_pad = jnp.pad(scene.prim_attr, ((0, 0), (0, pad)))
+    blk_iota = jnp.arange(BLOCK, dtype=jnp.int32)[:, None]
 
-    for p0 in range(0, P, BLOCK):
-        blk = min(BLOCK, P - p0)
-        t, u, v = _block_t_uv(scene, o, d, p0, blk)
+    def body(b, state):
+        best_t, best_prim, best_uv, best_attr = state
+        p0 = b * BLOCK
+        blk = {
+            k: jax.lax.dynamic_slice_in_dim(v, p0, BLOCK, axis=0)
+            for k, v in sc.items()
+            if k.startswith(("tri_", "prim_"))
+        }
+        blk.update(
+            shape_type=sc["shape_type"],
+            shape_pos=sc["shape_pos"],
+            shape_param=sc["shape_param"],
+        )
+        view = _BlockView(**blk)
+        t, u, v = _block_t_uv(view, o, d, 0, BLOCK)
         t = jnp.where(t > 0.0, t, C.INF)
         tmin = jnp.min(t, axis=0)
         closer = tmin < best_t
-
-        arg = jnp.argmin(t, axis=0)  # (N,)
+        arg = jnp.argmin(t, axis=0)
         best_t = jnp.where(closer, tmin, best_t)
         best_prim = jnp.where(closer, p0 + arg.astype(jnp.int32), best_prim)
 
         if want_uv:
-            onehot = (
-                jnp.arange(blk, dtype=jnp.int32)[:, None] == arg[None, :]
-            )  # (blk, N) — winner row per lane
-            oh_f = onehot.astype(jnp.float32)
+            oh_f = (blk_iota == arg[None, :]).astype(jnp.float32)
             u_win = jnp.sum(u * oh_f, axis=0)
             v_win = jnp.sum(v * oh_f, axis=0)
-            best_uv = jnp.where(
-                closer[None, :], jnp.stack([u_win, v_win]), best_uv
-            )
-            # (A, blk) @ (blk, N) on the MXU: the whole hit record at once
+            best_uv = jnp.where(closer[None, :], jnp.stack([u_win, v_win]), best_uv)
             attr_blk = jnp.dot(
-                scene.prim_attr[:, p0 : p0 + blk],
+                jax.lax.dynamic_slice_in_dim(attr_pad, p0, BLOCK, axis=1),
                 oh_f,
                 preferred_element_type=jnp.float32,
             )
             best_attr = jnp.where(closer[None, :], attr_blk, best_attr)
+        return best_t, best_prim, best_uv, best_attr
 
-    return best_t, best_prim, best_uv, best_attr
+    init = (
+        jnp.full((N,), C.INF, jnp.float32),
+        jnp.full((N,), -1, jnp.int32),
+        jnp.zeros((2, N), jnp.float32),
+        jnp.zeros((A, N), jnp.float32),
+    )
+    if n_blocks <= 4:
+        state = init
+        for b in range(n_blocks):
+            state = body(jnp.int32(b), state)
+        return state
+    return jax.lax.fori_loop(0, n_blocks, body, init)
+
+
+class _BlockView:
+    """Duck-typed scene view holding one prim block (for _block_t_uv)."""
+
+    def __init__(self, tri_v0, tri_e1, tri_e2, prim_type, prim_vidx,
+                 shape_type, shape_pos, shape_param):
+        self.tri_v0 = tri_v0
+        self.tri_e1 = tri_e1
+        self.tri_e2 = tri_e2
+        self.prim_type = prim_type
+        self.prim_vidx = prim_vidx
+        self.shape_type = shape_type
+        self.shape_pos = shape_pos
+        self.shape_param = shape_param
 
 
 def trace_dense(scene, origin_rows, direction_rows):

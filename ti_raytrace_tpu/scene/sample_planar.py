@@ -166,4 +166,9 @@ def sample_light(scene, u6):
         prim=prim,
         choice_pdf=choice_pdf,
         dir_pdf=dir_pdf,
+        # spectral rows (zeros unless the scene was built spectral=True)
+        em_c0=col[32],
+        em_c1=col[33],
+        em_c2=col[34],
+        em_scale=col[35],
     )
