@@ -76,8 +76,17 @@ def build_clusters(host: dict, block: int = CLUSTER_B) -> dict:
     centroid = 0.5 * (pmin + pmax)
     lo = centroid.min(0)
     hi = centroid.max(0)
-    q = (centroid - lo) / np.maximum(hi - lo, 1e-12)
-    order = np.argsort(_morton3d_np(q), kind="stable")
+    codes = None
+    try:  # native fast path (native/tiray_native.cpp)
+        from ti_raytrace_tpu.io.native import morton3d_native
+
+        codes = morton3d_native(centroid, lo, hi)
+    except Exception:
+        codes = None
+    if codes is None:
+        q = (centroid - lo) / np.maximum(hi - lo, 1e-12)
+        codes = _morton3d_np(q)
+    order = np.argsort(codes, kind="stable")
 
     sorted_ids = tri_ids[order]
     n_clusters = (T + block - 1) // block

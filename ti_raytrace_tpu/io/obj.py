@@ -91,7 +91,23 @@ def _resolve(idx: int, n: int) -> int:
     return idx - 1 if idx > 0 else n + idx
 
 
-def load_obj(path: str) -> ObjMesh:
+def load_obj(path: str, native: bool = True) -> ObjMesh:
+    """Load an OBJ.  Uses the C++ parser (io/native.py) when available —
+    ~20x faster on large meshes — with this pure-Python implementation as
+    the fallback and semantics oracle (set TIRAY_NO_NATIVE=1 to force)."""
+    if native and not os.environ.get("TIRAY_NO_NATIVE"):
+        try:
+            from ti_raytrace_tpu.io.native import load_obj_native
+
+            mesh = load_obj_native(path)
+            if mesh is not None:
+                return mesh
+        except Exception:
+            pass
+    return _load_obj_py(path)
+
+
+def _load_obj_py(path: str) -> ObjMesh:
     positions: list = []
     normals: list = []
     uvs: list = []
