@@ -146,6 +146,7 @@ def _bounce(scene, carry, key):
         perfect_spec=jnp.where(cont, new_perfect_spec, perfect_spec),
         miss_dir=carry_miss_dir,
         miss_weight=carry_miss_w,
+        pixel=carry["pixel"],
     )
 
 
@@ -165,10 +166,9 @@ def _env_radiance(scene, d):
     return jnp.swapaxes(srgb_to_lrgb(rgb), 0, 1) * scene.env_power
 
 
-def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH):
-    """Full path-trace of a planar wavefront: (3,N) rays -> (3,N) radiance."""
+def _new_carry(o, d):
     N = o.shape[1]
-    carry = dict(
+    return dict(
         origin=o,
         direction=d,
         throughput=jnp.ones((3, N), jnp.float32),
@@ -178,33 +178,109 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH):
         perfect_spec=jnp.ones((N,), bool),  # camera rays count as specular
         miss_dir=jnp.zeros((3, N), jnp.float32),
         miss_weight=jnp.zeros((3, N), jnp.float32),
+        pixel=jnp.arange(N, dtype=jnp.int32),
     )
 
-    def cond(state):
-        depth, c = state
-        return (depth < max_depth) & jnp.any(c["alive"])
 
-    def body(state):
-        depth, c = state
-        c = _bounce(scene, c, jax.random.fold_in(key, depth))
-        return depth + 1, c
+def _flush(carry, radiance_full, miss_dir_full, miss_w_full):
+    """Scatter the carry's accumulated radiance / pending env misses back
+    to full-resolution buffers by pixel id, and clear them in the carry."""
+    pix = carry["pixel"]
+    radiance_full = radiance_full.at[:, pix].add(carry["radiance"])
+    # a lane misses at most once (terminal), so a masked scatter-add is an
+    # exact merge into the full-resolution pending-miss buffers
+    has_miss = jnp.any(carry["miss_weight"] != 0.0, axis=0)
+    miss_dir_full = miss_dir_full.at[:, pix].add(
+        jnp.where(has_miss[None], carry["miss_dir"], 0.0)
+    )
+    miss_w_full = miss_w_full.at[:, pix].add(
+        jnp.where(has_miss[None], carry["miss_weight"], 0.0)
+    )
+    carry = dict(carry)
+    carry["radiance"] = jnp.zeros_like(carry["radiance"])
+    carry["miss_dir"] = jnp.zeros_like(carry["miss_dir"])
+    carry["miss_weight"] = jnp.zeros_like(carry["miss_weight"])
+    return carry, radiance_full, miss_dir_full, miss_w_full
 
-    _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+
+def _compact(carry, new_n: int):
+    """Shrink the wavefront to its live lanes (alive-first stable sort +
+    static slice).  Capacity overflow (more live lanes than new_n) kills
+    the excess paths — widths are chosen with ~4-8x headroom over typical
+    occupancy, so this is a rare depth cut, not an estimator change."""
+    N = carry["alive"].shape[0]
+    key = jnp.where(carry["alive"], jnp.uint32(0), jnp.uint32(1))
+    idx = jnp.arange(N, dtype=jnp.int32)
+    _, order = jax.lax.sort((key, idx), num_keys=1, is_stable=True)
+    sel = order[:new_n]
+
+    out = {}
+    for k, v in carry.items():
+        out[k] = jnp.take(v, sel, axis=-1)
+    return out
+
+
+def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
+                compaction=None):
+    """Full path-trace of a planar wavefront: (3,N) rays -> (3,N) radiance.
+
+    compaction: ((start_bounce, shrink_divisor), ...) — after
+    `start_bounce` bounces the wavefront is compacted to N/divisor live
+    lanes.  Late bounces otherwise cost as much as full ones (every pass
+    is fixed-shape), so scenes whose paths terminate early (glass with
+    Beer roulette, open scenes) gain 3-5x.  Capacity overflow cuts the
+    excess paths, so the schedule must leave headroom over the scene's
+    real occupancy — it is per-scene opt-in (None = exact, default).
+    """
+    compaction = compaction or ()
+    N = o.shape[1]
+    carry = _new_carry(o, d)
+    radiance_full = jnp.zeros((3, N), jnp.float32)
+    miss_dir_full = jnp.zeros((3, N), jnp.float32)
+    miss_w_full = jnp.zeros((3, N), jnp.float32)
+
+    # static phase schedule: (start, end, width)
+    starts = [0] + [s for s, _ in compaction]
+    ends = [s for s, _ in compaction] + [max_depth]
+    widths = [N] + [max(1024, N // dv) for _, dv in compaction]
+
+    for phase, (b0, b1, width) in enumerate(zip(starts, ends, widths)):
+        if b0 >= max_depth:
+            break
+        b1 = min(b1, max_depth)
+        if phase > 0:
+            carry, radiance_full, miss_dir_full, miss_w_full = _flush(
+                carry, radiance_full, miss_dir_full, miss_w_full
+            )
+            carry = _compact(carry, width)
+
+        def cond(state, _b1=b1):
+            depth, c = state
+            return (depth < _b1) & jnp.any(c["alive"])
+
+        def body(state):
+            depth, c = state
+            c = _bounce(scene, c, jax.random.fold_in(key, depth))
+            return depth + 1, c
+
+        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(b0), carry))
+
+    carry, radiance_full, miss_dir_full, miss_w_full = _flush(
+        carry, radiance_full, miss_dir_full, miss_w_full
+    )
 
     # one deferred environment pass for every lane that escaped
-    missed = jnp.any(carry["miss_weight"] != 0.0, axis=0)
-    env = _env_radiance(scene, carry["miss_dir"])
-    radiance = carry["radiance"] + jnp.where(
-        missed[None], env * carry["miss_weight"], 0.0
-    )
+    missed = jnp.any(miss_w_full != 0.0, axis=0)
+    env = _env_radiance(scene, miss_dir_full)
+    radiance = radiance_full + jnp.where(missed[None], env * miss_w_full, 0.0)
     return radiance
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def render_frame(scene, spec: CameraSpec, cam, frame, key):
+@partial(jax.jit, static_argnames=("spec", "compaction"))
+def render_frame(scene, spec: CameraSpec, cam, frame, key, compaction=None):
     """One progressive frame (1 spp): returns (W, H, 3) radiance."""
     k_cam, k_path = jax.random.split(key)
     o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
     d = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
-    radiance = trace_paths(scene, o, d, k_path)
+    radiance = trace_paths(scene, o, d, k_path, compaction=compaction)
     return jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)
