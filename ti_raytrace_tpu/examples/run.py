@@ -20,11 +20,13 @@ from ti_raytrace_tpu.examples.scenes import EXAMPLES, make_camera
 from ti_raytrace_tpu.metrics import RenderMeter
 
 
-def get_integrator(name: str, cfg_sky=None):
+def get_integrator(name: str, cfg_sky=None, compaction=None):
     if name == "pt_rgb":
+        import functools
+
         from ti_raytrace_tpu.integrators import pt_rgb
 
-        return pt_rgb.render_frame
+        return functools.partial(pt_rgb.render_frame, compaction=compaction)
     if name == "debug":
         from ti_raytrace_tpu.integrators import debug
 
@@ -59,7 +61,7 @@ def main(argv=None):
 
     scene, cfg = EXAMPLES[args.example]()
     spec, cam = make_camera(scene, cfg, args.size, args.size)
-    render = get_integrator(args.integrator or cfg.integrator, cfg.sky)
+    render = get_integrator(args.integrator or cfg.integrator, cfg.sky, cfg.compaction)
 
     fl = film_mod.new_film(args.size, args.size, seed=args.seed)
     if args.checkpoint:

@@ -32,6 +32,9 @@ class ExampleConfig:
     pitch: float = 0.0
     exposure: float = 0.5       # reference Example.py:43
     sky: dict = field(default_factory=dict)  # PT_Spec sky parameters
+    # wavefront compaction schedule for pt_rgb (None = exact; scenes whose
+    # paths terminate early gain 3-6x with no measurable bias)
+    compaction: tuple | None = None
 
 
 def _add_sphere_light(b: SceneBuilder, emission=50.0):
@@ -62,7 +65,12 @@ def single_model():
     b.add_env(asset_path("image/env.png"), 5.0)
     return (
         b.build(smooth_normals=True),
-        ExampleConfig("single_model", "pt_rgb", scale_mult=0.8),
+        ExampleConfig(
+            "single_model",
+            "pt_rgb",
+            scale_mult=0.8,
+            compaction=((1, 4), (4, 16), (9, 64)),
+        ),
     )
 
 
