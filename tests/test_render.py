@@ -141,3 +141,52 @@ def test_sharded_matches_shape(cornell):
     img = np.asarray(img)
     assert img.shape == (32, 32, 3)
     assert img.mean() > 0.01
+
+
+def test_pt_spec_smoke():
+    from ti_raytrace_tpu.integrators import pt_spec
+
+    scene, cfg = EXAMPLES["spectral_box"]()
+    spec, cam = make_camera(scene, cfg, 16, 16)
+    render = pt_spec.make_render_frame(**cfg.sky)
+    img = np.asarray(render(scene, spec, cam, jnp.int32(1), jax.random.PRNGKey(0)))
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.0
+
+
+def test_debug_obj_and_node_dump(tmp_path, cornell):
+    from ti_raytrace_tpu.accel.lbvh import dump_nodes
+    from ti_raytrace_tpu.io.assets import asset_path
+    from ti_raytrace_tpu.scene.build import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_obj(asset_path("model/cornell_box.obj"))
+    p = str(tmp_path / "debug.obj")
+    b.write_debug_obj(p)
+    from ti_raytrace_tpu.io.obj import load_obj
+
+    back = load_obj(p)
+    assert back.triangle_count() == 36
+
+    scene, _, _, _ = cornell
+    dump_nodes(
+        dict(
+            bvh_min=scene.bvh_min, bvh_max=scene.bvh_max,
+            bvh_prim=scene.bvh_prim, bvh_escape=scene.bvh_escape,
+        ),
+        str(tmp_path / "nodelist.txt"),
+    )
+    lines = open(tmp_path / "nodelist.txt").read().strip().splitlines()
+    assert len(lines) == 2 * 36 - 1
+
+
+def test_camera_orbit_helpers():
+    from ti_raytrace_tpu.camera import orbit_pitch, orbit_yaw
+
+    y, st = orbit_yaw((0, 0, 0), 0.0, 0.0, 3.0)
+    assert y == 0.003 and st.eye.shape == (3,)
+    p, st = orbit_pitch((0, 0, 0), 0.0, 0.49, 3.0)
+    assert abs(p - 0.493) < 1e-9
+    p2, _ = orbit_pitch((0, 0, 0), 0.0, 0.51, 3.0)
+    assert p2 == 0.51  # clamped at the limit

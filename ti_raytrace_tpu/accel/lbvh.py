@@ -336,3 +336,20 @@ def check_coverage(compact, n_prims: int) -> bool:
     return leaves.shape[0] == n_prims and np.array_equal(
         leaves, np.arange(n_prims, dtype=leaves.dtype)
     )
+
+
+def dump_nodes(compact, path: str) -> None:
+    """Write every compact node to a text file for inspection — the
+    reference dumps nodelist.txt at build (LBvh.py:164-172)."""
+    bmin = np.asarray(compact["bvh_min"])
+    bmax = np.asarray(compact["bvh_max"])
+    prim = np.asarray(compact["bvh_prim"])
+    esc = np.asarray(compact["bvh_escape"])
+    with open(path, "w") as f:
+        for i in range(prim.shape[0]):
+            kind = "leaf" if prim[i] >= 0 else "node"
+            f.write(
+                f"{i} {kind} prim={prim[i]} escape={esc[i]} "
+                f"min=({bmin[i,0]:.6f},{bmin[i,1]:.6f},{bmin[i,2]:.6f}) "
+                f"max=({bmax[i,0]:.6f},{bmax[i,1]:.6f},{bmax[i,2]:.6f})\n"
+            )

@@ -79,6 +79,21 @@ def orbit_camera(target, yaw: float, pitch: float, scale: float) -> CameraState:
     )
 
 
+def orbit_yaw(target, yaw: float, pitch: float, scale: float, step=0.003,
+              limit=3.14):
+    """One step of the reference's yaw orbit animation
+    (Camera.yaw_cam, Camera.py:54-59): returns (new_yaw, CameraState)."""
+    new_yaw = yaw + step if yaw < limit else yaw
+    return new_yaw, orbit_camera(target, new_yaw, pitch, scale)
+
+
+def orbit_pitch(target, yaw: float, pitch: float, scale: float, step=0.003,
+                limit=0.5):
+    """One step of the pitch orbit animation (Camera.pitch_cam:62-67)."""
+    new_pitch = pitch + step if pitch < limit else pitch
+    return new_pitch, orbit_camera(target, yaw, new_pitch, scale)
+
+
 def frame_scene_camera(aabb_min, aabb_max, yaw=0.0, pitch=0.0) -> CameraState:
     """The examples' auto-framing rule (cornell_box.py:26-30): target the
     AABB centre from 0.8 x diagonal away."""

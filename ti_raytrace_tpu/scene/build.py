@@ -112,6 +112,19 @@ class SceneBuilder:
         self.shapes.append(shape)
         self.materials.append(mat)
 
+    def write_debug_obj(self, path: str):
+        """Dump the accumulated triangle soup as an OBJ for inspection
+        (reference Scene.write_data_debug, Scene.py:209-220)."""
+        pos, nrm, _, _ = self._concat_tris()
+        with open(path, "w") as f:
+            for t in range(pos.shape[0]):
+                for c in range(3):
+                    f.write("v %f %f %f\n" % tuple(pos[t, c]))
+                    f.write("vn %f %f %f\n" % tuple(nrm[t, c]))
+            for t in range(pos.shape[0]):
+                i = 3 * t + 1
+                f.write(f"f {i}//{i} {i+1}//{i+1} {i+2}//{i+2}\n")
+
     def add_env(self, path: str, power: float):
         img = read_image(path)[::-1].copy()  # row 0 at bottom
         self.env_img = img
