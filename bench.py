@@ -75,10 +75,13 @@ def main():
     # (glass + Beer roulette; measured occupancy ~14% after bounce 1,
     # ~2% after bounce 4), so shrink with 2-8x headroom
     compaction = ((1, 4), (4, 16), (9, 64))
+    # all-glass scene: NEE contributes exactly zero -> compile it out
+    nee = pt_rgb.has_nee_materials(scene)
+    log(f"nee materials present: {nee}")
 
     fl = film_mod.new_film(size, size)
     t0 = time.time()
-    rad = pt_rgb.render_frame(scene, spec, cam, fl.frame, fl.key, compaction)
+    rad = pt_rgb.render_frame(scene, spec, cam, fl.frame, fl.key, compaction, nee)
     rad.block_until_ready()
     log(f"compile + first frame: {time.time() - t0:.1f}s")
     fl = film_mod.accumulate(fl, rad)
@@ -86,7 +89,7 @@ def main():
     n = 16
     t0 = time.time()
     for _ in range(n):
-        rad = pt_rgb.render_frame(scene, spec, cam, fl.frame, fl.key, compaction)
+        rad = pt_rgb.render_frame(scene, spec, cam, fl.frame, fl.key, compaction, nee)
         rad.block_until_ready()  # per-frame sync: robust through the tunnel
         fl = film_mod.accumulate(fl, rad)
     fl.hdr.block_until_ready()

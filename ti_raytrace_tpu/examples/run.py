@@ -20,13 +20,14 @@ from ti_raytrace_tpu.examples.scenes import EXAMPLES, make_camera
 from ti_raytrace_tpu.metrics import RenderMeter
 
 
-def get_integrator(name: str, cfg_sky=None, compaction=None):
+def get_integrator(name: str, cfg_sky=None, compaction=None, scene=None):
     if name == "pt_rgb":
         import functools
 
         from ti_raytrace_tpu.integrators import pt_rgb
 
-        return functools.partial(pt_rgb.render_frame, compaction=compaction)
+        nee = pt_rgb.has_nee_materials(scene) if scene is not None else True
+        return functools.partial(pt_rgb.render_frame, compaction=compaction, nee=nee)
     if name == "debug":
         from ti_raytrace_tpu.integrators import debug
 
@@ -61,7 +62,7 @@ def main(argv=None):
 
     scene, cfg = EXAMPLES[args.example]()
     spec, cam = make_camera(scene, cfg, args.size, args.size)
-    render = get_integrator(args.integrator or cfg.integrator, cfg.sky, cfg.compaction)
+    render = get_integrator(args.integrator or cfg.integrator, cfg.sky, cfg.compaction, scene)
 
     fl = film_mod.new_film(args.size, args.size, seed=args.seed)
     if args.checkpoint:

@@ -41,7 +41,7 @@ from ti_raytrace_tpu.utils.sampling import power_heuristic
 MAX_DEPTH = 15  # reference PT_RGB.py:21
 
 
-def _bounce(scene, carry, key):
+def _bounce(scene, carry, key, nee: bool = True):
     o = carry["origin"]
     d = carry["direction"]
     alive = carry["alive"]
@@ -84,30 +84,33 @@ def _bounce(scene, carry, key):
 
     # ---- disney lanes: NEE + continuation (PT_RGB.py:94-114) ----------
     is_disney = valid & (hit.mat_type != C.MAT_GLASS) & (hit.mat_type != C.MAT_LIGHT)
-    ls = sample_li(scene, hit.pos, u_nee)
-    ndl_surf = pv.dot(fnormal, ls["direction"])
-    ndl_light = pv.dot(ls["normal"], ls["direction"])
-    nee_geo_ok = is_disney & (ndl_surf < 0.0) & (ndl_light > 0.0)
-    # park shadow rays of non-disney lanes far outside the scene: their
-    # tiles then fail every cluster test and cost nothing (the dense
-    # tracer ignores parking; the cluster tracer exploits it)
-    sh_o = pv.where(is_disney, ls["pos"], jnp.full_like(ls["pos"], 1e9))
-    _, sh_prim = trace(scene, sh_o, ls["direction"])
-    unoccluded = sh_prim == prim
-    nee_brdf, nee_pdf = disney_evaluate_pdf(
-        fnormal, -d, -ls["direction"], hit.mat_p0, hit.mat_p1
-    )
-    light_pdf = ls["dist"] * ls["dist"] * ls["choice_pdf"] / jnp.maximum(ndl_light, 1e-12)
-    nee_ok = nee_geo_ok & unoccluded & (nee_pdf > 0.0)
-    nee_w = (
-        power_heuristic(light_pdf, nee_pdf)
-        / jnp.maximum(light_pdf, 1e-4)
-        * nee_brdf
-        * jnp.abs(ndl_surf)
-    )
-    radiance = radiance + jnp.where(
-        nee_ok[None], nee_w[None] * ls["emission"] * throughput * reflect_color, 0.0
-    )
+    if nee:
+        ls = sample_li(scene, hit.pos, u_nee)
+        ndl_surf = pv.dot(fnormal, ls["direction"])
+        ndl_light = pv.dot(ls["normal"], ls["direction"])
+        nee_geo_ok = is_disney & (ndl_surf < 0.0) & (ndl_light > 0.0)
+        # park shadow rays of non-disney lanes far outside the scene:
+        # their tiles then fail every cluster test and cost nothing (the
+        # dense tracer ignores parking; the cluster tracer exploits it)
+        sh_o = pv.where(is_disney, ls["pos"], jnp.full_like(ls["pos"], 1e9))
+        _, sh_prim = trace(scene, sh_o, ls["direction"])
+        unoccluded = sh_prim == prim
+        nee_brdf, nee_pdf = disney_evaluate_pdf(
+            fnormal, -d, -ls["direction"], hit.mat_p0, hit.mat_p1
+        )
+        light_pdf = (
+            ls["dist"] * ls["dist"] * ls["choice_pdf"] / jnp.maximum(ndl_light, 1e-12)
+        )
+        nee_ok = nee_geo_ok & unoccluded & (nee_pdf > 0.0)
+        nee_w = (
+            power_heuristic(light_pdf, nee_pdf)
+            / jnp.maximum(light_pdf, 1e-4)
+            * nee_brdf
+            * jnp.abs(ndl_surf)
+        )
+        radiance = radiance + jnp.where(
+            nee_ok[None], nee_w[None] * ls["emission"] * throughput * reflect_color, 0.0
+        )
 
     d_dir = disney_sample(u_bsdf, d, fnormal, hit.mat_p0, hit.mat_p1)
     d_brdf, d_pdf = disney_evaluate_pdf(fnormal, -d, d_dir, hit.mat_p0, hit.mat_p1)
@@ -220,8 +223,18 @@ def _compact(carry, new_n: int):
     return out
 
 
+def has_nee_materials(scene) -> bool:
+    """Host-side check: does any material take the NEE branch?  Scenes of
+    only glass + emitters (the 100k benchmark) contribute exactly zero via
+    NEE, so the shadow pass can be compiled out (`nee=False`)."""
+    import numpy as np
+
+    mt = np.asarray(scene.mat_type)
+    return bool(((mt != C.MAT_GLASS) & (mt != C.MAT_LIGHT)).any())
+
+
 def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
-                compaction=None):
+                compaction=None, nee: bool = True):
     """Full path-trace of a planar wavefront: (3,N) rays -> (3,N) radiance.
 
     compaction: ((start_bounce, shrink_divisor), ...) — after
@@ -260,7 +273,7 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
 
         def body(state):
             depth, c = state
-            c = _bounce(scene, c, jax.random.fold_in(key, depth))
+            c = _bounce(scene, c, jax.random.fold_in(key, depth), nee)
             return depth + 1, c
 
         _, carry = jax.lax.while_loop(cond, body, (jnp.int32(b0), carry))
@@ -276,11 +289,12 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
     return radiance
 
 
-@partial(jax.jit, static_argnames=("spec", "compaction"))
-def render_frame(scene, spec: CameraSpec, cam, frame, key, compaction=None):
+@partial(jax.jit, static_argnames=("spec", "compaction", "nee"))
+def render_frame(scene, spec: CameraSpec, cam, frame, key, compaction=None,
+                 nee: bool = True):
     """One progressive frame (1 spp): returns (W, H, 3) radiance."""
     k_cam, k_path = jax.random.split(key)
     o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
     d = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
-    radiance = trace_paths(scene, o, d, k_path, compaction=compaction)
+    radiance = trace_paths(scene, o, d, k_path, compaction=compaction, nee=nee)
     return jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)
