@@ -38,9 +38,12 @@ def get_integrator(name: str, cfg_sky=None, compaction=None, scene=None):
         sky = cfg_sky or {}
         return pt_spec.make_render_frame(**sky)
     if name == "bdpt_rgb":
+        import functools
+
         from ti_raytrace_tpu.integrators import bdpt_rgb
 
-        return bdpt_rgb.render_frame
+        # the 13-vertex wavefront of a full 512^2 frame exceeds HBM
+        return functools.partial(bdpt_rgb.render_frame_sliced, n_slices=4)
     if name == "bdpt_spec":
         from ti_raytrace_tpu.integrators import bdpt_spec
 

@@ -211,12 +211,11 @@ def _walk(scene, origin, direction, beta0, fpdf0, vertex0, max_depth, key,
     return verts, count
 
 
-def build_eye_path(scene, spec, cam, frame, key, spec_ctx=None):
-    N = spec.width * spec.height
+def build_eye_path_rays(scene, o, d, key, spec_ctx=None):
+    """Eye subpath walk from explicit rays (o, d planar)."""
+    N = o.shape[1]
     C_ = 1 if spec_ctx is not None else 3
-    k_cam, k_walk = jax.random.split(key)
-    o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
-    d = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
+    k_walk = key
 
     v0 = _empty_vertex(N)
     v0["pos"] = o
@@ -229,6 +228,13 @@ def build_eye_path(scene, spec, cam, frame, key, spec_ctx=None):
         scene, o, d, jnp.ones((C_, N), jnp.float32), jnp.ones((N,), jnp.float32),
         v0, EYE_MAX_DEPTH, k_walk, is_light_path=False, spec_ctx=spec_ctx,
     )
+
+
+def build_eye_path(scene, spec, cam, frame, key, spec_ctx=None):
+    k_cam, k_walk = jax.random.split(key)
+    o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
+    d = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
+    return build_eye_path_rays(scene, o, d, k_walk, spec_ctx)
 
 
 def build_light_path(scene, N, key, spec_ctx=None):
@@ -658,3 +664,41 @@ def render_paths(scene, spec: CameraSpec, cam, frame, key, spec_ctx=None):
 def render_frame(scene, spec: CameraSpec, cam, frame, key):
     """One progressive BDPT frame -> (W, H, 3) radiance."""
     return render_paths(scene, spec, cam, frame, key)
+
+
+@partial(jax.jit, static_argnames=("spec", "n_slices"))
+def _render_slice(scene, spec: CameraSpec, cam, frame, key, n_slices: int,
+                  slice_i):
+    # slice_i is traced -> one compilation serves every slice
+    N = spec.width * spec.height
+    ns = N // n_slices
+    k_cam, k_eye, k_light, k_conn = jax.random.split(key, 4)
+    o_full = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
+    d_full = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
+    start = slice_i * ns
+    o = jax.lax.dynamic_slice_in_dim(o_full, start, ns, axis=1)
+    d = jax.lax.dynamic_slice_in_dim(d_full, start, ns, axis=1)
+    eye, eye_count = build_eye_path_rays(scene, o, d, jax.random.fold_in(k_eye, slice_i))
+    light, light_count = build_light_path(scene, ns, jax.random.fold_in(k_light, slice_i))
+    radiance, splat = _connections(
+        scene, spec, cam, eye, eye_count, light, light_count,
+        jax.random.fold_in(k_conn, slice_i),
+    )
+    return jnp.swapaxes(radiance, 0, 1), splat
+
+
+def render_frame_sliced(scene, spec: CameraSpec, cam, frame, key,
+                        n_slices: int = 2):
+    """BDPT frame rendered in `n_slices` sequential lane slices: the
+    13-vertex wavefront state of a full 512^2 frame exceeds HBM, so each
+    slice runs the whole pipeline on 1/n of the pixels (light-tracing
+    splats still land on the full film).  One compile, n executions."""
+    N = spec.width * spec.height
+    parts = []
+    splat_total = jnp.zeros((spec.width, spec.height, 3), jnp.float32)
+    for i in range(n_slices):
+        rad, splat = _render_slice(scene, spec, cam, frame, key, n_slices, jnp.int32(i))
+        parts.append(rad)
+        splat_total = splat_total + splat
+    img = jnp.concatenate(parts, axis=0).reshape(spec.width, spec.height, 3)
+    return img + splat_total

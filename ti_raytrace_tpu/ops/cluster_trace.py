@@ -43,7 +43,7 @@ BROAD_CHUNK = 128  # clusters slab-tested per dense broad-phase pass
 
 
 def _kernel(rays_ref, cb_ref, tri_ref, order_ref, entry_ref, out_ref,
-            best_ref, counts_ref, maxfar_ref, done_ref,
+            best_ref, counts_ref, maxfar_ref, done_ref, visited_ref,
             *, n_clusters, block):
     ox = rays_ref[:, 0:1]
     oy = rays_ref[:, 1:2]
@@ -63,6 +63,7 @@ def _kernel(rays_ref, cb_ref, tri_ref, order_ref, entry_ref, out_ref,
     best_ref[:, 3:4] = jnp.zeros_like(ox)            # v
     maxfar_ref[:, :] = jnp.full_like(ox, -C.INF)
     done_ref[0] = jnp.int32(0)
+    visited_ref[0] = jnp.int32(0)
 
     n_chunks = n_clusters // BROAD_CHUNK
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, BROAD_CHUNK), 1)
@@ -113,6 +114,7 @@ def _kernel(rays_ref, cb_ref, tri_ref, order_ref, entry_ref, out_ref,
         if True:
             cid = order_ref[0, 0, j]
             cnt = counts_ref[cid, 0]
+            visited_ref[0] = visited_ref[0] + jnp.where(cnt > 0.0, 1, 0).astype(jnp.int32)
 
             @pl.when(cnt > 0.0)
             def _():
@@ -196,7 +198,11 @@ def _kernel(rays_ref, cb_ref, tri_ref, order_ref, entry_ref, out_ref,
     jax.lax.while_loop(wl_cond, wl_body, (jnp.int32(0), 0))
 
     out_ref[:, 0:4] = best_ref[:, 0:4]
+    # diagnostics: row 4 = clusters visited by this tile's narrow phase
     out_ref[:, 4:8] = jnp.zeros_like(out_ref[:, 4:8])
+    out_ref[:, 4:5] = jnp.broadcast_to(
+        visited_ref[0].astype(jnp.float32), out_ref[:, 4:5].shape
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("n_clusters", "block", "interpret"))
@@ -225,6 +231,7 @@ def _run_kernel(rays, cb, tri, order_t, entry_t, n_clusters: int, block: int,
             pltpu.VMEM((n_clusters, 1), jnp.float32),  # counts
             pltpu.VMEM((TILE, 1), jnp.float32),        # per-ray farthest box
             pltpu.SMEM((1,), jnp.int32),               # done flag
+            pltpu.SMEM((1,), jnp.int32),               # visited counter
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=24 * 1024 * 1024,
