@@ -48,6 +48,35 @@ def _morton3d_np(q):
     )
 
 
+def _median_split_order(pmin, pmax, block: int) -> np.ndarray:
+    """Recursive longest-axis median split into runs of <= block tris.
+
+    Produces tighter cluster boxes than fixed morton-range slicing (the
+    split adapts to the geometry), which directly cuts the number of
+    clusters a ray tile enters during traversal."""
+    n = pmin.shape[0]
+    centroid = 0.5 * (pmin + pmax)
+    order = np.arange(n)
+    out = []
+    stack = [order]
+    while stack:
+        ids = stack.pop()
+        if ids.shape[0] <= block:
+            out.append(ids)
+            continue
+        c = centroid[ids]
+        axis = int(np.argmax(c.max(0) - c.min(0)))
+        half = (ids.shape[0] // (2 * block) + (ids.shape[0] % (2 * block) > 0)) * block
+        half = min(half, ids.shape[0] - 1)
+        part = np.argpartition(c[:, axis], half)
+        stack.append(ids[part[half:]])
+        stack.append(ids[part[:half]])
+    # left-to-right: internal splits are block multiples, so every leaf
+    # except the global tail starts at a block-aligned offset and clusters
+    # never straddle leaf boundaries
+    return np.concatenate(out)
+
+
 def build_clusters(host: dict, block: int = CLUSTER_B) -> dict:
     """Build cluster arrays from the host scene dict.
 
@@ -76,17 +105,21 @@ def build_clusters(host: dict, block: int = CLUSTER_B) -> dict:
     centroid = 0.5 * (pmin + pmax)
     lo = centroid.min(0)
     hi = centroid.max(0)
-    codes = None
-    try:  # native fast path (native/tiray_native.cpp)
-        from ti_raytrace_tpu.io.native import morton3d_native
-
-        codes = morton3d_native(centroid, lo, hi)
+    # median-split ordering (tighter boxes); morton kept as fallback
+    try:
+        order = _median_split_order(pmin, pmax, block)
     except Exception:
         codes = None
-    if codes is None:
-        q = (centroid - lo) / np.maximum(hi - lo, 1e-12)
-        codes = _morton3d_np(q)
-    order = np.argsort(codes, kind="stable")
+        try:  # native fast path (native/tiray_native.cpp)
+            from ti_raytrace_tpu.io.native import morton3d_native
+
+            codes = morton3d_native(centroid, lo, hi)
+        except Exception:
+            codes = None
+        if codes is None:
+            q = (centroid - lo) / np.maximum(hi - lo, 1e-12)
+            codes = _morton3d_np(q)
+        order = np.argsort(codes, kind="stable")
 
     sorted_ids = tri_ids[order]
     n_clusters = (T + block - 1) // block
