@@ -71,13 +71,13 @@ def main():
     spec = CameraSpec(size, size)
     cam = orbit_camera(centre, 0.0, 0.0, scale)
 
-    # wavefront compaction schedule: this scene's paths terminate early
-    # (glass + Beer roulette; measured occupancy ~14% after bounce 1,
-    # ~2% after bounce 4), so shrink with 2-8x headroom
-    compaction = ((1, 4), (4, 16), (9, 64))
     # all-glass scene: NEE contributes exactly zero -> compile it out
     nee = pt_rgb.has_nee_materials(scene)
-    log(f"nee materials present: {nee}")
+    # calibrate the wavefront compaction schedule from a probe frame
+    # (this scene's paths terminate early: glass + Beer roulette)
+    t1 = time.time()
+    compaction = pt_rgb.calibrate_compaction(scene, spec, cam, margin=1.4)
+    log(f"nee={nee} compaction={compaction} (calibrated in {time.time()-t1:.1f}s)")
 
     fl = film_mod.new_film(size, size)
     t0 = time.time()

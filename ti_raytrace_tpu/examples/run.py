@@ -65,7 +65,13 @@ def main(argv=None):
 
     scene, cfg = EXAMPLES[args.example]()
     spec, cam = make_camera(scene, cfg, args.size, args.size)
-    render = get_integrator(args.integrator or cfg.integrator, cfg.sky, cfg.compaction, scene)
+    compaction = cfg.compaction
+    if compaction == "auto":
+        from ti_raytrace_tpu.integrators import pt_rgb as _pt
+
+        compaction = _pt.calibrate_compaction(scene, spec, cam)
+        print(f"calibrated compaction schedule: {compaction}")
+    render = get_integrator(args.integrator or cfg.integrator, cfg.sky, compaction, scene)
 
     fl = film_mod.new_film(args.size, args.size, seed=args.seed)
     if args.checkpoint:

@@ -69,7 +69,7 @@ def single_model():
             "single_model",
             "pt_rgb",
             scale_mult=0.8,
-            compaction=((1, 4), (4, 16), (9, 64)),
+            compaction="auto",
         ),
     )
 

@@ -223,6 +223,50 @@ def _compact(carry, new_n: int):
     return out
 
 
+def calibrate_compaction(scene, spec, cam, key=None, probe_size: int = 128,
+                         margin: float = 4.0, max_depth: int = MAX_DEPTH):
+    """Derive a safe compaction schedule from one probe frame.
+
+    Renders a small probe wavefront bounce by bounce (host loop), records
+    the live-lane fraction after each bounce, and returns a
+    ((start_bounce, divisor), ...) schedule whose widths keep `margin`x
+    headroom over the measured occupancy.  Returns None when the scene
+    keeps high occupancy (e.g. closed diffuse boxes) — compaction would
+    not pay there.
+    """
+    import numpy as np
+
+    from ti_raytrace_tpu.camera import CameraSpec as _Spec
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    pspec = _Spec(probe_size, probe_size, focal=spec.focal)
+    k_cam, k_path = jax.random.split(key)
+    o = jnp.swapaxes(ray_origins(pspec, cam), 0, 1)
+    d = jnp.swapaxes(ray_directions(pspec, cam, jnp.int32(1), k_cam), 0, 1)
+    nee = has_nee_materials(scene)
+    bounce = jax.jit(lambda c, k: _bounce(scene, c, k, nee))
+    carry = _new_carry(o, d)
+    frac = []
+    for depth in range(max_depth):
+        carry = bounce(carry, jax.random.fold_in(k_path, depth))
+        frac.append(float(np.asarray(carry["alive"]).mean()))
+        if frac[-1] == 0.0:
+            break
+
+    schedule = []
+    div_prev = 1
+    for depth, f in enumerate(frac):
+        # largest power-of-two width divisor keeping margin x headroom;
+        # each new phase costs one extra compiled wavefront size
+        div = 1
+        while div < 64 and f * margin <= 1.0 / (2 * div):
+            div *= 2
+        if div >= 2 * div_prev:
+            schedule.append((depth + 1, div))
+            div_prev = div
+    return tuple(schedule) if schedule else None
+
+
 def has_nee_materials(scene) -> bool:
     """Host-side check: does any material take the NEE branch?  Scenes of
     only glass + emitters (the 100k benchmark) contribute exactly zero via
