@@ -190,3 +190,43 @@ def test_camera_orbit_helpers():
     assert abs(p - 0.493) < 1e-9
     p2, _ = orbit_pitch((0, 0, 0), 0.0, 0.51, 3.0)
     assert p2 == 0.51  # clamped at the limit
+
+
+def test_compaction_matches_exact():
+    """Wavefront compaction is a performance mode: on a glass scene with
+    early-terminating paths it must agree with the exact render."""
+    from ti_raytrace_tpu.integrators import pt_rgb
+
+    scene, cfg = EXAMPLES["single_model"]()
+    spec, cam = make_camera(scene, cfg, 32, 32)
+
+    def render(compaction, n=12):
+        fl = film_mod.new_film(32, 32, seed=11)
+        for _ in range(n):
+            fl = film_mod.accumulate(
+                fl,
+                pt_rgb.render_frame(
+                    scene, spec, cam, fl.frame, fl.key, compaction
+                ),
+            )
+        return np.asarray(fl.hdr)
+
+    exact = render(None)
+    compacted = render(((1, 2), (4, 8)))
+    # same seeds -> identical sampling decisions for surviving paths;
+    # only capacity cuts may differ
+    assert abs(compacted.mean() - exact.mean()) / max(exact.mean(), 1e-9) < 0.02
+
+
+def test_calibrate_compaction_glass_scene():
+    from ti_raytrace_tpu.integrators import pt_rgb
+
+    scene, cfg = EXAMPLES["single_model"]()
+    spec, cam = make_camera(scene, cfg, 32, 32)
+    sched = pt_rgb.calibrate_compaction(scene, spec, cam, probe_size=32)
+    # glass + env scene: paths die early -> a non-trivial schedule
+    assert sched is not None and len(sched) >= 1
+    starts = [s for s, _ in sched]
+    divs = [d for _, d in sched]
+    assert starts == sorted(starts)
+    assert all(d2 >= 2 * d1 for d1, d2 in zip(divs, divs[1:]))

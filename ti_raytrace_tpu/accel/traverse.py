@@ -13,8 +13,6 @@ Early-out: a subtree is skipped when the box entry distance exceeds the
 current best hit (an optimization the reference lacks).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -13,7 +13,7 @@ All functions take explicit uniforms `u` and per-lane material parameters
 
 import jax.numpy as jnp
 
-from ti_raytrace_tpu.core.constants import PI, TWO_PI
+from ti_raytrace_tpu.core.constants import PI
 from ti_raytrace_tpu.utils import microfacet as mf
 from ti_raytrace_tpu.utils import sampling, vec
 

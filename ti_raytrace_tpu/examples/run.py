@@ -12,9 +12,6 @@ import argparse
 import json
 import time
 
-import jax
-import numpy as np
-
 from ti_raytrace_tpu import film as film_mod
 from ti_raytrace_tpu.examples.scenes import EXAMPLES, make_camera
 from ti_raytrace_tpu.metrics import RenderMeter

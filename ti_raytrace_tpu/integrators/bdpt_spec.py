@@ -19,7 +19,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ti_raytrace_tpu.camera import CameraSpec
 from ti_raytrace_tpu.core import constants as C

@@ -117,7 +117,6 @@ def _material_spectral_rows(host):
     """Per-material rgb2spec coefficients (host-side fetch;
     reference Hero.srgb_to_spec + PT_Spec.emission_to_rad)."""
     from ti_raytrace_tpu.spectral.rgb2spec import load_table
-    from ti_raytrace_tpu.utils import colorsp
 
     table = load_table()
     color = host["mat_color"].astype(np.float64)

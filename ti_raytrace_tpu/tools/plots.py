@@ -22,7 +22,6 @@ import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
-from ti_raytrace_tpu.core import constants as C  # noqa: E402
 from ti_raytrace_tpu.io.assets import asset_path  # noqa: E402
 from ti_raytrace_tpu.spectral.cie import load_cie_sensor, normalized_d65  # noqa: E402
 from ti_raytrace_tpu.spectral.spd import load_spd_csv  # noqa: E402
