@@ -290,6 +290,26 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
     real occupancy — it is per-scene opt-in (None = exact, default).
     """
     compaction = compaction or ()
+
+    if not compaction:
+        # exact single-phase path: no pixel indirection, no scatters
+        carry = _new_carry(o, d)
+
+        def cond0(state):
+            depth, c = state
+            return (depth < max_depth) & jnp.any(c["alive"])
+
+        def body0(state):
+            depth, c = state
+            c = _bounce(scene, c, jax.random.fold_in(key, depth), nee)
+            return depth + 1, c
+
+        _, carry = jax.lax.while_loop(cond0, body0, (jnp.int32(0), carry))
+        missed = jnp.any(carry["miss_weight"] != 0.0, axis=0)
+        env = _env_radiance(scene, carry["miss_dir"])
+        return carry["radiance"] + jnp.where(
+            missed[None], env * carry["miss_weight"], 0.0
+        )
     N = o.shape[1]
     carry = _new_carry(o, d)
     radiance_full = jnp.zeros((3, N), jnp.float32)

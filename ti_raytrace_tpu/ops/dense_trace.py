@@ -24,7 +24,16 @@ from ti_raytrace_tpu.core import constants as C
 BLOCK = 128
 
 
-def _block_t_uv(scene, o, d, p0: int, blk: int):
+def scene_has_shapes(scene) -> bool:
+    """Static: does the scene contain analytic-shape primitives?  The
+    builder emits exactly one prim per triangle corner-triple, so shape
+    prims exist iff P exceeds the triangle count."""
+    tri_count = scene.vtx_pos.shape[0] // 3
+    return scene.n_prims != tri_count
+
+
+
+def _block_t_uv(scene, o, d, p0: int, blk: int, with_shapes: bool = True):
     """Hit distances for prims [p0, p0+blk) x rays, planar (blk, N).
 
     Triangles: two-sided Möller-Trumbore (reference Scene.py:604-638).
@@ -63,8 +72,12 @@ def _block_t_uv(scene, o, d, p0: int, blk: int):
 
     ptype = scene.prim_type[sl][:, None]
     is_tri = ptype == C.PRIM_TRI
-    has_shape = ptype == C.PRIM_SHAPE
 
+    if not with_shapes:
+        # statically shape-free scene: skip the sphere branch entirely
+        return jnp.where(is_tri, t_tri, C.INF), u, v
+
+    has_shape = ptype == C.PRIM_SHAPE
     sid = jnp.clip(scene.prim_vidx[sl], 0, scene.shape_type.shape[0] - 1)
     stype = scene.shape_type[sid][:, None]
     cpos = scene.shape_pos[sid]
@@ -111,8 +124,12 @@ def _sweep(scene, o, d, want_uv: bool):
     N = o.shape[1]
     P = scene.n_prims
     A = scene.prim_attr.shape[0]
-    n_blocks = (P + BLOCK - 1) // BLOCK
-    P_pad = n_blocks * BLOCK
+    # block rows live on the sublane axis; 128 rows schedules best on the
+    # VPU even for tiny scenes (smaller blocks measured slower)
+    blk_rows = BLOCK
+    with_shapes = scene_has_shapes(scene)
+    n_blocks = (P + blk_rows - 1) // blk_rows
+    P_pad = n_blocks * blk_rows
     pad = P_pad - P
 
     # pad the hot arrays so every dynamic block slice is in-bounds;
@@ -128,13 +145,13 @@ def _sweep(scene, o, d, want_uv: bool):
         shape_param=scene.shape_param,
     )
     attr_pad = jnp.pad(scene.prim_attr, ((0, 0), (0, pad)))
-    blk_iota = jnp.arange(BLOCK, dtype=jnp.int32)[:, None]
+    blk_iota = jnp.arange(blk_rows, dtype=jnp.int32)[:, None]
 
     def body(b, state):
         best_t, best_prim, best_uv, best_attr = state
-        p0 = b * BLOCK
+        p0 = b * blk_rows
         blk = {
-            k: jax.lax.dynamic_slice_in_dim(v, p0, BLOCK, axis=0)
+            k: jax.lax.dynamic_slice_in_dim(v, p0, blk_rows, axis=0)
             for k, v in sc.items()
             if k.startswith(("tri_", "prim_"))
         }
@@ -144,7 +161,7 @@ def _sweep(scene, o, d, want_uv: bool):
             shape_param=sc["shape_param"],
         )
         view = _BlockView(**blk)
-        t, u, v = _block_t_uv(view, o, d, 0, BLOCK)
+        t, u, v = _block_t_uv(view, o, d, 0, blk_rows, with_shapes)
         t = jnp.where(t > 0.0, t, C.INF)
         tmin = jnp.min(t, axis=0)
         closer = tmin < best_t
@@ -158,7 +175,7 @@ def _sweep(scene, o, d, want_uv: bool):
             v_win = jnp.sum(v * oh_f, axis=0)
             best_uv = jnp.where(closer[None, :], jnp.stack([u_win, v_win]), best_uv)
             attr_blk = jnp.dot(
-                jax.lax.dynamic_slice_in_dim(attr_pad, p0, BLOCK, axis=1),
+                jax.lax.dynamic_slice_in_dim(attr_pad, p0, blk_rows, axis=1),
                 oh_f,
                 preferred_element_type=jnp.float32,
             )
