@@ -22,33 +22,11 @@ def log(*a):
 
 
 def build_bench_scene(n_target=100_000):
-    from ti_raytrace_tpu.core import constants as C
-    from ti_raytrace_tpu.io.assets import asset_path
-    from ti_raytrace_tpu.io.meshgen import densify_to
-    from ti_raytrace_tpu.io.obj import load_obj
-    from ti_raytrace_tpu.scene.build import MaterialRec, SceneBuilder, sphere_shape
+    from ti_raytrace_tpu.examples.scenes import benchmark_100k
 
-    mesh = load_obj(asset_path("model/Teapot.obj"))
-    import numpy as np
-
-    pos = np.concatenate(mesh.tri_pos)
-    nrm = np.concatenate(mesh.tri_normal)
-    uv = np.concatenate(mesh.tri_uv)
-    pos, nrm, uv = densify_to(pos, nrm, uv, n_target)
-    log(f"benchmark mesh: {pos.shape[0]} triangles")
-
-    b = SceneBuilder()
-    # the single_model material override: glass, ior 1.3, extinction 5
-    b.add_triangles(pos, nrm, uv, MaterialRec(C.MAT_GLASS, color=(0.8, 0.8, 0.8), p0=1.3, p1=5.0))
-    b.add_shape(
-        sphere_shape([0.0, 20.0, 0.0], 5.0),
-        MaterialRec(C.MAT_LIGHT, color=[50.0, 50.0, 50.0]),
-    )
-    try:
-        b.add_env(asset_path("image/env.png"), 5.0)
-    except FileNotFoundError:
-        log("env.png not found; black env")
-    return b.build()
+    scene, _ = benchmark_100k(n_target)
+    log(f"benchmark scene: {scene.n_prims} prims")
+    return scene
 
 
 def main():

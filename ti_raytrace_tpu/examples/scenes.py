@@ -147,6 +147,33 @@ def prism_rainbow():
     )
 
 
+def benchmark_100k(n_target: int = 100_000):
+    """The reference's headline benchmark slot (README.md:56-58): a
+    ~100k-triangle mesh in the single_model configuration.  `mc.obj` is a
+    missing blob upstream, so the mesh is a densified Teapot."""
+    from ti_raytrace_tpu.io.meshgen import densify_to
+    from ti_raytrace_tpu.io.obj import load_obj
+
+    mesh = load_obj(asset_path("model/Teapot.obj"))
+    pos = np.concatenate(mesh.tri_pos)
+    nrm = np.concatenate(mesh.tri_normal)
+    uv = np.concatenate(mesh.tri_uv)
+    pos, nrm, uv = densify_to(pos, nrm, uv, n_target)
+
+    b = SceneBuilder()
+    b.add_triangles(
+        pos, nrm, uv, MaterialRec(C.MAT_GLASS, color=(0.8, 0.8, 0.8), p0=1.3, p1=5.0)
+    )
+    _add_sphere_light(b)
+    try:
+        b.add_env(asset_path("image/env.png"), 5.0)
+    except FileNotFoundError:
+        pass
+    return b.build(), ExampleConfig(
+        "benchmark_100k", "pt_rgb", scale_mult=0.8, compaction="auto"
+    )
+
+
 EXAMPLES = {
     "cornell_box": cornell_box,
     "single_model": single_model,
@@ -154,6 +181,7 @@ EXAMPLES = {
     "spectral_box": spectral_box,
     "veach_bdpt": veach_bdpt,
     "prism_rainbow": prism_rainbow,
+    "benchmark_100k": benchmark_100k,
 }
 
 
