@@ -230,3 +230,24 @@ def test_calibrate_compaction_glass_scene():
     divs = [d for _, d in sched]
     assert starts == sorted(starts)
     assert all(d2 >= 2 * d1 for d1, d2 in zip(divs, divs[1:]))
+
+
+def test_bdpt_sliced_consistent(cornell):
+    """Sliced BDPT must produce a valid frame of the same magnitude as the
+    unsliced path (RNG decorrelates per slice, so compare statistics)."""
+    from ti_raytrace_tpu.integrators import bdpt_rgb
+
+    scene, _, spec, cam = cornell
+    k = jax.random.PRNGKey(9)
+    full = np.zeros((32, 32, 3), np.float32)
+    sliced = np.zeros((32, 32, 3), np.float32)
+    for i in range(6):
+        kk = jax.random.fold_in(k, i)
+        full += np.asarray(bdpt_rgb.render_frame(scene, spec, cam, jnp.int32(1), kk))
+        sliced += np.asarray(
+            bdpt_rgb.render_frame_sliced(scene, spec, cam, jnp.int32(1), kk, 2)
+        )
+    full /= 6
+    sliced /= 6
+    assert np.isfinite(sliced).all() and sliced.min() >= 0.0
+    assert abs(sliced.mean() - full.mean()) / full.mean() < 0.15
