@@ -17,7 +17,6 @@ Planar convention: rays are (3, N).
 """
 
 import jax
-import jax.numpy as jnp
 
 DENSE_MAX_PRIMS = 4096
 
@@ -26,19 +25,26 @@ def _interpret() -> bool:
     return jax.local_devices()[0].platform != "tpu"
 
 
-def trace(scene, origin, direction):
-    """Planar closest-hit: origin/direction (3, N) -> (t, prim)."""
+def trace(scene, origin, direction, sort_rays: bool = True):
+    """Planar closest-hit: origin/direction (3, N) -> (t, prim).
+
+    sort_rays=False skips the cluster tracer's coherence sort/unsort —
+    pass it when the wavefront is already morton-sorted (pt_rgb presorts
+    the whole carry once per bounce, which is far cheaper than
+    sort+unsort gathers around every trace)."""
     if scene.n_prims <= DENSE_MAX_PRIMS:
         from ti_raytrace_tpu.ops.dense_trace import trace_planar
 
         return trace_planar(scene, origin, direction)
     from ti_raytrace_tpu.ops.cluster_trace import trace_clustered
 
-    t, prim, _ = trace_clustered(scene, origin, direction, interpret=_interpret())
+    t, prim, _ = trace_clustered(
+        scene, origin, direction, interpret=_interpret(), sort_rays=sort_rays
+    )
     return t, prim
 
 
-def trace_shaded(scene, origin, direction):
+def trace_shaded(scene, origin, direction, sort_rays: bool = True):
     """Planar closest-hit + shading pack -> (t, prim, uv_bary, attr)."""
     if scene.n_prims <= DENSE_MAX_PRIMS:
         from ti_raytrace_tpu.ops.dense_trace import trace_shaded as _dense
@@ -47,9 +53,16 @@ def trace_shaded(scene, origin, direction):
 
     from ti_raytrace_tpu.ops.cluster_trace import trace_clustered
 
-    t, prim, uv = trace_clustered(scene, origin, direction, interpret=_interpret())
-    # one column gather for the winning prims' packed attributes
-    pid = jnp.clip(prim, 0, scene.n_prims - 1)
-    attr = scene.prim_attr[:, pid]
-    attr = jnp.where((prim >= 0)[None, :], attr, 0.0)
+    # the kernel extracts the winner's attr column in VMEM (one-hot MXU
+    # matmul) — no per-lane HBM gather anywhere in the shading path
+    t, prim, uv, attr = trace_clustered(
+        scene, origin, direction, interpret=_interpret(), want_attr=True,
+        sort_rays=sort_rays,
+    )
     return t, prim, uv, attr
+
+
+def needs_presort(scene) -> bool:
+    """Static: does this scene use the cluster tracer (which wants
+    morton-presorted wavefronts)?"""
+    return scene.n_prims > DENSE_MAX_PRIMS

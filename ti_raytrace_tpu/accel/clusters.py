@@ -80,20 +80,23 @@ def _median_split_order(pmin, pmax, block: int) -> np.ndarray:
 def build_clusters(host: dict, block: int = CLUSTER_B) -> dict:
     """Build cluster arrays from the host scene dict.
 
-    Returns dict(cluster_bounds (8, C), cluster_tri (TRI_ROWS, C*block)).
+    Returns dict(cluster_bounds (8, C), cluster_tri (TRI_ROWS, C*block),
+    cluster_attr (C*block, A) — prim_attr columns in cluster-slot order so
+    the traversal kernel extracts the winner's shading pack with a one-hot
+    MXU matmul instead of an HBM gather).
     Always at least one cluster (degenerate if the scene has no tris).
     """
     ptype = host["prim_type"]
+    A = host["prim_attr"].shape[0]
     tri_ids = np.nonzero(ptype == C.PRIM_TRI)[0]
     T = tri_ids.shape[0]
 
     if T == 0:
-        bounds = np.zeros((8, CHUNK_PAD), np.float32)
-        bounds[0:3, :] = 1.0   # min > max: never hit
-        bounds[3:6, :] = -1.0
+        bounds = _empty_bounds(CHUNK_PAD)
         tri = np.zeros((TRI_ROWS, CHUNK_PAD * block), np.float32)
         tri[9, :] = -1.0
-        return dict(cluster_bounds=bounds, cluster_tri=tri)
+        attr = np.zeros((CHUNK_PAD * block, A), np.float32)
+        return dict(cluster_bounds=bounds, cluster_tri=tri, cluster_attr=attr)
 
     v0 = host["tri_v0"][tri_ids]
     e1 = host["tri_e1"][tri_ids]
@@ -133,13 +136,30 @@ def build_clusters(host: dict, block: int = CLUSTER_B) -> dict:
     tri[9, :T] = sorted_ids.astype(np.float32)
     tri[9, T:] = -1.0
 
-    bounds = np.zeros((8, n_clusters), np.float32)
-    bounds[0:3, :] = 1.0   # empty clusters: min > max, never hit
-    bounds[3:6, :] = -1.0
+    attr = np.zeros((P_pad, A), np.float32)
+    attr[:T] = host["prim_attr"][:, sorted_ids].T
+
+    bounds = _empty_bounds(n_clusters)
     bmin = pmin[order]
     bmax = pmax[order]
-    for c in range((T + block - 1) // block):
+    n_real = (T + block - 1) // block
+    for c in range(n_real):
         s = slice(c * block, min((c + 1) * block, T))
         bounds[0:3, c] = bmin[s].min(0)
         bounds[3:6, c] = bmax[s].max(0)
-    return dict(cluster_bounds=bounds, cluster_tri=tri)
+    bounds[6, :n_real] = 1.0
+    return dict(cluster_bounds=bounds, cluster_tri=tri, cluster_attr=attr)
+
+
+def _empty_bounds(n: int) -> np.ndarray:
+    """Padding-cluster bounds.  IMPORTANT: a branchless slab test cannot
+    represent 'never hit' with min > max — the per-axis [min(t1,t2),
+    max(t1,t2)] intervals make box [1,-1] behave exactly like [-1,1], a
+    unit box at the origin that rays through the scene centre 'hit'.
+    Row 6 is an explicit validity flag the traversal masks on; the inf
+    extents additionally keep padding out of supercluster boxes."""
+    bounds = np.zeros((8, n), np.float32)
+    bounds[0:3, :] = 1e30
+    bounds[3:6, :] = -1e30
+    bounds[6, :] = 0.0  # invalid
+    return bounds

@@ -147,10 +147,35 @@ def prism_rainbow():
     )
 
 
-def benchmark_100k(n_target: int = 100_000):
+BENCH_SCHEDULE = ((1, 4), (4, 16))
+"""Measured-optimal compaction schedule for benchmark_100k (occupancy
+drops to ~0.18 after bounce 1); bench.py verifies zero overflow kills
+at runtime via render_frame_stats, so a scene change that invalidates
+this schedule is loud, not silently biased."""
+
+
+def benchmark_100k(n_target: int = 100_000, cache: bool = True):
     """The reference's headline benchmark slot (README.md:56-58): a
     ~100k-triangle mesh in the single_model configuration.  `mc.obj` is a
-    missing blob upstream, so the mesh is a densified Teapot."""
+    missing blob upstream, so the mesh is a densified Teapot.  The host
+    arrays (mesh + BVH + clusters + packs, ~10 s to build) are cached
+    under .cache/ keyed by the triangle target."""
+    import os
+
+    from ti_raytrace_tpu.scene.data import device_scene
+
+    cfg = ExampleConfig(
+        "benchmark_100k", "pt_rgb", scale_mult=0.8, compaction=BENCH_SCHEDULE
+    )
+    cache_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".cache", f"bench_scene_{n_target}.npz",
+    )
+    if cache and os.path.exists(cache_path):
+        with np.load(cache_path) as z:
+            host = {k: z[k] for k in z.files}
+        return device_scene(host), cfg
+
     from ti_raytrace_tpu.io.meshgen import densify_to
     from ti_raytrace_tpu.io.obj import load_obj
 
@@ -169,9 +194,11 @@ def benchmark_100k(n_target: int = 100_000):
         b.add_env(asset_path("image/env.png"), 5.0)
     except FileNotFoundError:
         pass
-    return b.build(), ExampleConfig(
-        "benchmark_100k", "pt_rgb", scale_mult=0.8, compaction="auto"
-    )
+    host = b.build_host()
+    if cache:
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        np.savez(cache_path, **host)
+    return device_scene(host), cfg
 
 
 EXAMPLES = {

@@ -28,7 +28,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ti_raytrace_tpu.accel import trace, trace_shaded
+from ti_raytrace_tpu.accel import needs_presort, trace, trace_shaded
 from ti_raytrace_tpu.bsdf.planar import disney_evaluate_pdf, disney_sample, glass_sample
 from ti_raytrace_tpu.camera import CameraSpec, ray_directions, ray_origins
 from ti_raytrace_tpu.core import constants as C
@@ -39,9 +39,67 @@ from ti_raytrace_tpu.utils.colorsp import srgb_to_lrgb
 from ti_raytrace_tpu.utils.sampling import power_heuristic
 
 MAX_DEPTH = 15  # reference PT_RGB.py:21
+PRESORT_CARRY = False  # see trace_paths
 
 
-def _bounce(scene, carry, key, nee: bool = True):
+def _sort_carry(scene, carry):
+    """Permute the whole wavefront carry into (alive-first, morton) order.
+
+    Sorting the carry once per bounce is the cluster tracer's coherence
+    restoration: the trace then runs with sort_rays=False, saving the
+    per-trace ray sort + the (N, 48) hit-record unsort gather.  Gathers
+    on TPU pay a large per-op cost regardless of row count (measured),
+    so the whole carry is packed into ONE planar matrix and permuted
+    with ONE gather; int/bool rows ride along bitcast to f32.  Radiance
+    is scattered back to pixels by the carry's pixel ids at flush time."""
+    from ti_raytrace_tpu.ops.cluster_trace import _coherence_key
+
+    N = carry["alive"].shape[0]
+    key_o, key_d = _coherence_key(scene, carry["origin"], carry["direction"])
+    dead_first = jnp.where(carry["alive"], jnp.uint32(0), jnp.uint32(1))
+    idx = jnp.arange(N, dtype=jnp.int32)
+    _, _, _, order = jax.lax.sort(
+        (dead_first, key_o, key_d, idx), num_keys=3, is_stable=True
+    )
+
+    mat = jnp.concatenate(
+        [
+            carry["origin"],                                   # 0:3
+            carry["direction"],                                # 3:6
+            carry["throughput"],                               # 6:9
+            carry["radiance"],                                 # 9:12
+            carry["miss_dir"],                                 # 12:15
+            carry["miss_weight"],                              # 15:18
+            carry["alive"].astype(jnp.float32)[None],          # 18
+            carry["brdf_pdf"][None],                           # 19
+            carry["perfect_spec"].astype(jnp.float32)[None],   # 20
+            jax.lax.bitcast_convert_type(
+                carry["pixel"], jnp.float32
+            )[None],                                           # 21
+        ],
+        axis=0,
+    )
+    # permute along the MAJOR axis: a lane-axis gather of a planar array
+    # is many times slower on TPU than transpose + row gather + transpose
+    m = jnp.take(jnp.swapaxes(mat, 0, 1), order, axis=0)
+    m = jnp.swapaxes(m, 0, 1)
+    return dict(
+        origin=m[0:3],
+        direction=m[3:6],
+        throughput=m[6:9],
+        radiance=m[9:12],
+        miss_dir=m[12:15],
+        miss_weight=m[15:18],
+        alive=m[18] > 0.5,
+        brdf_pdf=m[19],
+        perfect_spec=m[20] > 0.5,
+        pixel=jax.lax.bitcast_convert_type(m[21], jnp.int32),
+    )
+
+
+def _bounce(scene, carry, key, nee: bool = True, presort: bool = False):
+    if presort:
+        carry = _sort_carry(scene, carry)
     o = carry["origin"]
     d = carry["direction"]
     alive = carry["alive"]
@@ -52,7 +110,7 @@ def _bounce(scene, carry, key, nee: bool = True):
     u_bsdf = u[3:6]
     u_rr = u[6]
 
-    t, prim, uv_bary, attr = trace_shaded(scene, o, d)
+    t, prim, uv_bary, attr = trace_shaded(scene, o, d, sort_rays=not presort)
     hit = decode_hit(o, d, t, prim, uv_bary, attr)
     valid = hit.valid & alive
     fnormal = pv.faceforward(hit.normal, -d, hit.gnormal)
@@ -73,7 +131,14 @@ def _bounce(scene, carry, key, nee: bool = True):
     fcos = jnp.abs(pv.dot(d, hit.gnormal))
     area = hit.area * scene.n_lights
     light_pdf_hit = (t * t) / jnp.maximum(area * fcos, 1e-12)
-    mis_w = jnp.where(perfect_spec, 1.0, power_heuristic(brdf_pdf_prev, light_pdf_hit))
+    if nee:
+        mis_w = jnp.where(
+            perfect_spec, 1.0, power_heuristic(brdf_pdf_prev, light_pdf_hit)
+        )
+    else:
+        # without NEE there is no competing light-sampling technique:
+        # emitter hits must count in full or energy is silently lost
+        mis_w = jnp.ones_like(light_pdf_hit)
     radiance = radiance + jnp.where(
         is_light[None], mis_w[None] * throughput * hit.mat_color, 0.0
     )
@@ -210,8 +275,12 @@ def _compact(carry, new_n: int):
     """Shrink the wavefront to its live lanes (alive-first stable sort +
     static slice).  Capacity overflow (more live lanes than new_n) kills
     the excess paths — widths are chosen with ~4-8x headroom over typical
-    occupancy, so this is a rare depth cut, not an estimator change."""
+    occupancy, so this is a rare depth cut, not an estimator change.
+    Returns (compacted_carry, n_overflow) so overflow is observable
+    (a silent kill would be a silent bias regression)."""
     N = carry["alive"].shape[0]
+    n_alive = jnp.sum(carry["alive"].astype(jnp.int32))
+    overflow = jnp.maximum(n_alive - new_n, 0)
     key = jnp.where(carry["alive"], jnp.uint32(0), jnp.uint32(1))
     idx = jnp.arange(N, dtype=jnp.int32)
     _, order = jax.lax.sort((key, idx), num_keys=1, is_stable=True)
@@ -220,7 +289,7 @@ def _compact(carry, new_n: int):
     out = {}
     for k, v in carry.items():
         out[k] = jnp.take(v, sel, axis=-1)
-    return out
+    return out, overflow
 
 
 def calibrate_compaction(scene, spec, cam, key=None, probe_size: int = 128,
@@ -244,7 +313,8 @@ def calibrate_compaction(scene, spec, cam, key=None, probe_size: int = 128,
     o = jnp.swapaxes(ray_origins(pspec, cam), 0, 1)
     d = jnp.swapaxes(ray_directions(pspec, cam, jnp.int32(1), k_cam), 0, 1)
     nee = has_nee_materials(scene)
-    bounce = jax.jit(lambda c, k: _bounce(scene, c, k, nee))
+    presort = PRESORT_CARRY and needs_presort(scene)
+    bounce = jax.jit(lambda c, k: _bounce(scene, c, k, nee, presort))
     carry = _new_carry(o, d)
     frac = []
     for depth in range(max_depth):
@@ -278,7 +348,7 @@ def has_nee_materials(scene) -> bool:
 
 
 def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
-                compaction=None, nee: bool = True):
+                compaction=None, nee: bool = True, return_overflow: bool = False):
     """Full path-trace of a planar wavefront: (3,N) rays -> (3,N) radiance.
 
     compaction: ((start_bounce, shrink_divisor), ...) — after
@@ -288,11 +358,19 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
     Beer roulette, open scenes) gain 3-5x.  Capacity overflow cuts the
     excess paths, so the schedule must leave headroom over the scene's
     real occupancy — it is per-scene opt-in (None = exact, default).
+
+    return_overflow=True additionally returns the number of live paths
+    killed by compaction capacity (int32 scalar; 0 == exact estimator).
     """
     compaction = compaction or ()
+    # Carry presorting (sort the whole wavefront once per bounce, trace
+    # unsorted) measured SLOWER end-to-end than the tracer's internal
+    # sort+unsort (318 vs 181 ms/frame on the 100k bench) despite moving
+    # fewer bytes — kept behind this switch for future re-evaluation.
+    presort = PRESORT_CARRY and needs_presort(scene)
 
     if not compaction:
-        # exact single-phase path: no pixel indirection, no scatters
+        # exact single-phase path: one pixel scatter at the very end
         carry = _new_carry(o, d)
 
         def cond0(state):
@@ -301,21 +379,27 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
 
         def body0(state):
             depth, c = state
-            c = _bounce(scene, c, jax.random.fold_in(key, depth), nee)
+            c = _bounce(scene, c, jax.random.fold_in(key, depth), nee, presort)
             return depth + 1, c
 
         _, carry = jax.lax.while_loop(cond0, body0, (jnp.int32(0), carry))
         missed = jnp.any(carry["miss_weight"] != 0.0, axis=0)
         env = _env_radiance(scene, carry["miss_dir"])
-        return carry["radiance"] + jnp.where(
+        radiance = carry["radiance"] + jnp.where(
             missed[None], env * carry["miss_weight"], 0.0
         )
+        if presort:
+            radiance = jnp.zeros_like(radiance).at[:, carry["pixel"]].set(radiance)
+        if return_overflow:
+            return radiance, jnp.int32(0)
+        return radiance
     N = o.shape[1]
     carry = _new_carry(o, d)
     radiance_full = jnp.zeros((3, N), jnp.float32)
     miss_dir_full = jnp.zeros((3, N), jnp.float32)
     miss_w_full = jnp.zeros((3, N), jnp.float32)
 
+    overflow = jnp.int32(0)
     # static phase schedule: (start, end, width)
     starts = [0] + [s for s, _ in compaction]
     ends = [s for s, _ in compaction] + [max_depth]
@@ -329,7 +413,8 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
             carry, radiance_full, miss_dir_full, miss_w_full = _flush(
                 carry, radiance_full, miss_dir_full, miss_w_full
             )
-            carry = _compact(carry, width)
+            carry, ov = _compact(carry, width)
+            overflow = overflow + ov
 
         def cond(state, _b1=b1):
             depth, c = state
@@ -337,7 +422,7 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
 
         def body(state):
             depth, c = state
-            c = _bounce(scene, c, jax.random.fold_in(key, depth), nee)
+            c = _bounce(scene, c, jax.random.fold_in(key, depth), nee, presort)
             return depth + 1, c
 
         _, carry = jax.lax.while_loop(cond, body, (jnp.int32(b0), carry))
@@ -350,6 +435,8 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
     missed = jnp.any(miss_w_full != 0.0, axis=0)
     env = _env_radiance(scene, miss_dir_full)
     radiance = radiance_full + jnp.where(missed[None], env * miss_w_full, 0.0)
+    if return_overflow:
+        return radiance, overflow
     return radiance
 
 
@@ -361,4 +448,48 @@ def render_frame(scene, spec: CameraSpec, cam, frame, key, compaction=None,
     o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
     d = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
     radiance = trace_paths(scene, o, d, k_path, compaction=compaction, nee=nee)
+    return jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)
+
+
+@partial(jax.jit, static_argnames=("spec", "compaction", "nee"))
+def render_frame_stats(scene, spec: CameraSpec, cam, frame, key,
+                       compaction=None, nee: bool = True):
+    """render_frame + estimator-safety stats: (image, overflow_kills).
+
+    overflow_kills > 0 means the compaction schedule cut live paths
+    (depth bias) — bench.py surfaces it so a too-tight schedule cannot
+    silently regress the estimator."""
+    k_cam, k_path = jax.random.split(key)
+    o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
+    d = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
+    radiance, overflow = trace_paths(
+        scene, o, d, k_path, compaction=compaction, nee=nee,
+        return_overflow=True,
+    )
+    img = jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)
+    return img, overflow
+
+
+@partial(jax.jit, static_argnames=("spec", "n_frames", "compaction", "nee"))
+def render_frames_batched(scene, spec: CameraSpec, cam, frame, key,
+                          n_frames: int = 2, compaction=None,
+                          nee: bool = True):
+    """n progressive frames traced as ONE wavefront in one dispatch.
+
+    Concatenating frames amortizes the per-dispatch fixed costs (sort,
+    tile_order, kernel grid setup, tunnel launch) and lets the morton
+    sort pool coherent rays across frames.  Returns the mean (W, H, 3)
+    radiance of the batch — accumulate it with weight n_frames."""
+    N = spec.width * spec.height
+    os_, ds_, keys = [], [], []
+    for i in range(n_frames):
+        ki = jax.random.fold_in(key, i)
+        k_cam, k_path = jax.random.split(ki)
+        os_.append(jnp.swapaxes(ray_origins(spec, cam), 0, 1))
+        ds_.append(jnp.swapaxes(ray_directions(spec, cam, frame + i, k_cam), 0, 1))
+        keys.append(k_path)
+    o = jnp.concatenate(os_, axis=1)
+    d = jnp.concatenate(ds_, axis=1)
+    radiance = trace_paths(scene, o, d, keys[0], compaction=compaction, nee=nee)
+    radiance = radiance.reshape(3, n_frames, N).mean(axis=1)
     return jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)

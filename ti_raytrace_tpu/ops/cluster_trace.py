@@ -1,31 +1,34 @@
 """Pallas TPU kernel: ray-tile x cluster-stream closest-hit traversal.
 
 For scenes too large for the dense sweep, this kernel implements a
-two-phase cluster traversal (accel/clusters.py) entirely in VMEM:
+chunked front-to-back cluster sweep entirely in VMEM:
 
   grid over ray tiles (TILE rays per program);
-  phase 1 (broad): slab-test the tile against every cluster AABB in
-    dense (TILE, CHUNK) column-layout passes, accumulating per-cluster
-    tile hit counts (via an MXU contraction into sublane-indexable
-    scratch) and a per-ray any-box flag;
-  phase 2 (narrow): walk the clusters FRONT-TO-BACK in a per-tile order
-    precomputed outside the kernel (distance from the tile's bounding
-    sphere to each cluster box — a conservative lower bound on any tile
-    ray's entry distance).  Entered clusters (`pl.when` on the tile
-    count) run a (TILE, B) Möller-Trumbore block; the loop EXITS as soon
-    as every ray that can still hit anything has a hit closer than the
-    next cluster's entry lower bound — typical tiles touch a handful of
-    clusters instead of all of them.
+  clusters are visited in a per-tile front-to-back order (precomputed
+  outside: distance from the tile's ray-origin bounding sphere to each
+  cluster box), in chunks of 128.  Each chunk is slab-tested against the
+  whole tile in one dense (TILE, 128) pass, and a cluster becomes a
+  *candidate* only if some ray both enters its box AND could still find
+  a closer hit there (box entry < the ray's current best t) — this is
+  per-ray front-to-back early exit: as rays find hits, the clusters
+  behind those hits stop being visited, per ray, automatically.
+  Candidate clusters run a (TILE, B) Möller-Trumbore block; the winning
+  triangle's shading attributes are extracted in-kernel with a one-hot
+  MXU matmul against the VMEM-resident cluster_attr table (no HBM
+  gather anywhere in the hot path).
 
 No per-lane gathers, no pointer chasing, no stacks.  Ray coherence is
 restored per bounce by sorting the wavefront on a morton key of
 (origin, direction octant); terminated rays are parked far away, so
-all-dead tiles fall through the broad phase and exit immediately.
+all-dead tiles fail every slab test and cost only the (cheap) slab
+sweep.
 
 Layout notes: rays (N, 8) rows [ox oy oz dx dy dz * *] in TILE blocks;
-cluster bounds (8, C) planar; triangle blocks (12, C*B) planar; per-tile
-order/entry tables (C, n_tiles) sliced (C, 1) per program so scalar
-reads index the sublane dim.  Output (TILE, 8): [t, prim, u, v, 0...].
+cluster bounds pre-permuted per tile into front-to-back order
+(n_tiles, 8, C); triangle blocks (12, C*B) planar in global cluster
+order; attr blocks (C*B, A) row-major; per-tile order table (1, C)
+int32 in SMEM maps sweep position -> global cluster id.  Output
+(TILE, OUT_W): [t, prim, u, v, attr[0:A], visited, 0...].
 """
 
 import functools
@@ -37,13 +40,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ti_raytrace_tpu.core import constants as C
 
-TILE = 1024
-BROAD_CHUNK = 128  # clusters slab-tested per dense broad-phase pass
+TILE = 256       # rays per kernel program (sweep: 256 beats 512/1024)
+CHUNK = 128      # clusters slab-tested per dense pass
+GROUP = 32       # candidate refresh granularity within a chunk
+SMALL_WAVEFRONT = 32768  # below this, skip sort + per-tile ordering
+ATTR_ROWS = 40   # scene/packs.py PRIM_A
+OUT_W = 48       # t, prim, u, v, attr(40), visited, pad(3)
 
 
-def _kernel(rays_ref, cb_ref, tri_ref, order_ref, entry_ref, out_ref,
-            best_ref, counts_ref, maxfar_ref, done_ref, visited_ref,
-            *, n_clusters, block):
+def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, out_ref,
+            best_ref, battr_ref, counts_ref, scounts_ref, visited_ref,
+            *, n_clusters, n_supers_pad, block, want_attr):
     ox = rays_ref[:, 0:1]
     oy = rays_ref[:, 1:2]
     oz = rays_ref[:, 2:3]
@@ -60,233 +67,328 @@ def _kernel(rays_ref, cb_ref, tri_ref, order_ref, entry_ref, out_ref,
     best_ref[:, 1:2] = jnp.full_like(ox, -1.0)       # prim id
     best_ref[:, 2:3] = jnp.zeros_like(ox)            # u
     best_ref[:, 3:4] = jnp.zeros_like(ox)            # v
-    maxfar_ref[:, :] = jnp.full_like(ox, -C.INF)
-    done_ref[0] = jnp.int32(0)
+    if want_attr:
+        battr_ref[:, :] = jnp.zeros_like(battr_ref)
     visited_ref[0] = jnp.int32(0)
 
-    n_chunks = n_clusters // BROAD_CHUNK
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, BROAD_CHUNK), 1)
-    tri_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, block), 1)
-    ones_col = jnp.ones((TILE, 1), jnp.float32)
+    n_chunks = n_clusters // CHUNK
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    tri_iota = jax.lax.broadcasted_iota(jnp.int32, (rays_ref.shape[0], block), 1)
+    ones_col = jnp.ones((rays_ref.shape[0], 1), jnp.float32)
 
-    # ---- broad phase: geometric slab test of every cluster ------------
-    def chunk_body(ci, _):
-        base = ci * BROAD_CHUNK
-        sl = pl.ds(base, BROAD_CHUNK)
-        t1x = (cb_ref[0:1, sl] - ox) * ix
-        t2x = (cb_ref[3:4, sl] - ox) * ix
+    def slab(ref, s):
+        """Slab test of the tile vs 128 boxes of a (1, 8, L) bounds ref.
+        Row 6 = validity (accel/clusters.py _empty_bounds: min > max does
+        NOT encode a miss in a branchless slab test).  Returns (tn, hit)."""
+        t1x = (ref[0, 0:1, s] - ox) * ix
+        t2x = (ref[0, 3:4, s] - ox) * ix
         tn = jnp.minimum(t1x, t2x)
         tf = jnp.maximum(t1x, t2x)
-        t1y = (cb_ref[1:2, sl] - oy) * iy
-        t2y = (cb_ref[4:5, sl] - oy) * iy
+        t1y = (ref[0, 1:2, s] - oy) * iy
+        t2y = (ref[0, 4:5, s] - oy) * iy
         tn = jnp.maximum(tn, jnp.minimum(t1y, t2y))
         tf = jnp.minimum(tf, jnp.maximum(t1y, t2y))
-        t1z = (cb_ref[2:3, sl] - oz) * iz
-        t2z = (cb_ref[5:6, sl] - oz) * iz
+        t1z = (ref[0, 2:3, s] - oz) * iz
+        t2z = (ref[0, 5:6, s] - oz) * iz
         tn = jnp.maximum(tn, jnp.minimum(t1z, t2z))
         tf = jnp.minimum(tf, jnp.maximum(t1z, t2z))
+        hit = (jnp.maximum(tn, 0.0) <= tf) & (ref[0, 6:7, s] > 0.0)
+        return tn, hit
 
-        valid_cluster = lane_iota < (n_clusters - base)
-        hit = (jnp.maximum(tn, 0.0) <= tf) & valid_cluster
-
-        hit_f = hit.astype(jnp.float32)
-        counts_col = jax.lax.dot_general(
-            hit_f, ones_col, (((0,), (0,)), ((), ())),
+    # ---- supercluster pre-pass: which GROUP-of-16 runs have any ray? --
+    # Tiles over empty space (terminated/parked lanes, sky) skip the
+    # whole per-cluster slab sweep, not just the narrow phase.
+    def super_body(si, _):
+        sbase = pl.multiple_of(si * CHUNK, CHUNK)
+        _, s_hit = slab(sb_ref, pl.ds(sbase, CHUNK))
+        scounts_ref[pl.ds(sbase, CHUNK), :] = jax.lax.dot_general(
+            s_hit.astype(jnp.float32), ones_col, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (CHUNK, 1)
-        counts_ref[pl.ds(base, BROAD_CHUNK), :] = counts_col
-        # farthest box exit per ray: no hit can lie beyond it, so a ray
-        # is settled once the front-to-back sweep passes this bound
-        far = jnp.where(hit, tf, -C.INF)
-        maxfar_ref[:, :] = jnp.maximum(
-            maxfar_ref[:, :], jnp.max(far, axis=1, keepdims=True)
         )
+        return 0
+
+    jax.lax.fori_loop(0, n_supers_pad // CHUNK, super_body, 0)
+
+    def chunk_body(ci, _):
+        base = pl.multiple_of(ci * CHUNK, CHUNK)
+        sl = pl.ds(base, CHUNK)
+
+        # supercluster skip: this chunk is 8 GROUP-of-16 runs; if no ray
+        # entered any of their super boxes, skip even the slab sweep
+        # (scalar reads: a reduction over a dynamic VMEM slice does not
+        # lower in Mosaic)
+        sbase = ci * (CHUNK // GROUP)
+        super_any = scounts_ref[sbase, 0]
+        for k in range(1, CHUNK // GROUP):
+            super_any = super_any + scounts_ref[sbase + k, 0]
+
+        @pl.when(super_any > 0.0)
+        def _():
+            _sweep_chunk(base, sl)
+
+        return 0
+
+    def _sweep_chunk(base, sl):
+        tn, hit_geo = slab(cb_ref, sl)
+
+        # per-ray front-to-back pruning: a cluster is a candidate only
+        # for rays whose current best hit lies beyond its box entry.
+        # best_t changes as clusters are visited, so candidates are
+        # re-derived from the chunk's slab results every GROUP clusters —
+        # one straggler ray stops costing the whole chunk.
+        def group_body(g, _):
+            cand = (
+                hit_geo
+                & (tn < best_ref[:, 0:1])
+                & (lane_iota // GROUP == g)
+            )
+            counts_col = jax.lax.dot_general(
+                cand.astype(jnp.float32), ones_col, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (CHUNK, 1), nonzero only in this group's rows
+            counts_ref[:, :] = counts_col
+            total = jnp.sum(counts_col)
+
+            @pl.when(total > 0.0)
+            def _():
+                _sweep_group(base, g)
+
+            return 0
+
+        def _sweep_group(base, g):
+            def inner(k, _):
+                jj = g * GROUP + k
+                cnt = counts_ref[jj, 0]
+
+                @pl.when(cnt > 0.0)
+                def _():
+                    visited_ref[0] = visited_ref[0] + 1
+                    cid = order_ref[0, 0, base + jj]
+                    tbase = pl.multiple_of(cid * block, 128)
+                    tsl = pl.ds(tbase, block)
+                    v0x = tri_ref[0:1, tsl]
+                    v0y = tri_ref[1:2, tsl]
+                    v0z = tri_ref[2:3, tsl]
+                    e1x = tri_ref[3:4, tsl]
+                    e1y = tri_ref[4:5, tsl]
+                    e1z = tri_ref[5:6, tsl]
+                    e2x = tri_ref[6:7, tsl]
+                    e2y = tri_ref[7:8, tsl]
+                    e2z = tri_ref[8:9, tsl]
+                    pid = tri_ref[9:10, tsl]
+
+                    px = dy * e2z - dz * e2y
+                    py = dz * e2x - dx * e2z
+                    pz = dx * e2y - dy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    sgn = jnp.sign(det)
+                    adet = jnp.abs(det)
+                    tx = ox - v0x
+                    ty = oy - v0y
+                    tz = oz - v0z
+                    u = (tx * px + ty * py + tz * pz) * sgn
+                    qx = ty * e1z - tz * e1y
+                    qy = tz * e1x - tx * e1z
+                    qz = tx * e1y - ty * e1x
+                    v = (dx * qx + dy * qy + dz * qz) * sgn
+                    t = (e2x * qx + e2y * qy + e2z * qz) * sgn
+                    ok = (
+                        (adet > 1e-12)
+                        & (u >= 0.0)
+                        & (u <= adet)
+                        & (v >= 0.0)
+                        & (u + v <= adet)
+                    )
+                    inv = 1.0 / jnp.where(adet > 1e-12, adet, 1.0)
+                    t = jnp.where(ok, t * inv, C.INF)
+                    t = jnp.where(t > 0.0, t, C.INF)
+
+                    tmin = jnp.min(t, axis=1, keepdims=True)           # (TILE,1)
+                    closer = tmin < best_ref[:, 0:1]
+                    arg = jnp.argmin(t, axis=1).astype(jnp.int32)       # (TILE,)
+                    onehot = (tri_iota == arg[:, None]).astype(jnp.float32)
+                    onehot = onehot * closer.astype(jnp.float32)
+                    pid_win = jnp.sum(onehot * pid, axis=1, keepdims=True)
+                    u_win = jnp.sum(onehot * (u * inv), axis=1, keepdims=True)
+                    v_win = jnp.sum(onehot * (v * inv), axis=1, keepdims=True)
+
+                    best_ref[:, 0:1] = jnp.where(closer, tmin, best_ref[:, 0:1])
+                    best_ref[:, 1:2] = jnp.where(closer, pid_win, best_ref[:, 1:2])
+                    best_ref[:, 2:3] = jnp.where(closer, u_win, best_ref[:, 2:3])
+                    best_ref[:, 3:4] = jnp.where(closer, v_win, best_ref[:, 3:4])
+
+                    if want_attr:
+                        ab = attr_ref[pl.ds(tbase, block), :]           # (B, A)
+                        # HIGHEST: the MXU's default bf16 passes would
+                        # round the extracted attributes
+                        attr_win = jax.lax.dot_general(
+                            onehot, ab, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )                                               # (TILE, A)
+                        battr_ref[:, :] = jnp.where(
+                            closer, attr_win, battr_ref[:, :]
+                        )
+
+                return 0
+
+            jax.lax.fori_loop(0, GROUP, inner, 0)
+
+        jax.lax.fori_loop(0, CHUNK // GROUP, group_body, 0)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
-    # ---- narrow phase: front-to-back over the per-tile cluster order --
-    def cluster_cond(j):
-        return (j < n_clusters) & (done_ref[0] == 0)
-
-    def cluster_body(j, _):
-        if True:
-            cid = order_ref[0, 0, j]
-            cnt = counts_ref[cid, 0]
-            visited_ref[0] = visited_ref[0] + jnp.where(cnt > 0.0, 1, 0).astype(jnp.int32)
-
-            @pl.when(cnt > 0.0)
-            def _():
-                tbase = pl.multiple_of(cid * block, 128)
-                tsl = pl.ds(tbase, block)
-                v0x = tri_ref[0:1, tsl]
-                v0y = tri_ref[1:2, tsl]
-                v0z = tri_ref[2:3, tsl]
-                e1x = tri_ref[3:4, tsl]
-                e1y = tri_ref[4:5, tsl]
-                e1z = tri_ref[5:6, tsl]
-                e2x = tri_ref[6:7, tsl]
-                e2y = tri_ref[7:8, tsl]
-                e2z = tri_ref[8:9, tsl]
-                pid = tri_ref[9:10, tsl]
-
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                sgn = jnp.sign(det)
-                adet = jnp.abs(det)
-                tx = ox - v0x
-                ty = oy - v0y
-                tz = oz - v0z
-                u = (tx * px + ty * py + tz * pz) * sgn
-                qx = ty * e1z - tz * e1y
-                qy = tz * e1x - tx * e1z
-                qz = tx * e1y - ty * e1x
-                v = (dx * qx + dy * qy + dz * qz) * sgn
-                t = (e2x * qx + e2y * qy + e2z * qz) * sgn
-                ok = (
-                    (adet > 1e-12)
-                    & (u >= 0.0)
-                    & (u <= adet)
-                    & (v >= 0.0)
-                    & (u + v <= adet)
-                )
-                inv = 1.0 / jnp.where(adet > 1e-12, adet, 1.0)
-                t = jnp.where(ok, t * inv, C.INF)
-                t = jnp.where(t > 0.0, t, C.INF)
-
-                tmin = jnp.min(t, axis=1, keepdims=True)          # (TILE,1)
-                closer = tmin < best_ref[:, 0:1]
-                arg = jnp.argmin(t, axis=1).astype(jnp.int32)      # (TILE,)
-                onehot = (tri_iota == arg[:, None]).astype(jnp.float32)
-                pid_win = jnp.sum(onehot * pid, axis=1, keepdims=True)
-                u_win = jnp.sum(onehot * (u * inv), axis=1, keepdims=True)
-                v_win = jnp.sum(onehot * (v * inv), axis=1, keepdims=True)
-
-                best_ref[:, 0:1] = jnp.where(closer, tmin, best_ref[:, 0:1])
-                best_ref[:, 1:2] = jnp.where(closer, pid_win, best_ref[:, 1:2])
-                best_ref[:, 2:3] = jnp.where(closer, u_win, best_ref[:, 2:3])
-                best_ref[:, 3:4] = jnp.where(closer, v_win, best_ref[:, 3:4])
-
-            # conservative early exit (checked every 4th cluster): a ray
-            # is settled once min(best_t, farthest box exit) is closer
-            # than the next cluster's entry lower bound — it can neither
-            # improve its hit nor touch any remaining box
-            @pl.when((j % 4 == 3) | (j + 1 >= n_clusters))
-            def _():
-                nxt = jnp.minimum(j + 1, n_clusters - 1)
-                next_entry = entry_ref[0, 0, nxt]
-                bound = jnp.minimum(best_ref[:, 0:1], maxfar_ref[:, 0:1])
-                bm = jnp.max(bound)
-                done_ref[0] = jnp.where(
-                    (bm < next_entry) | (j + 1 >= n_clusters), 1, done_ref[0]
-                ).astype(jnp.int32)
-
-        return j + 1, 0
-
-    # while_loop: iterations stop at the exit instead of spinning
-    def wl_cond(state):
-        j, _ = state
-        return cluster_cond(j)
-
-    def wl_body(state):
-        j, x = state
-        return cluster_body(j, x)
-
-    jax.lax.while_loop(wl_cond, wl_body, (jnp.int32(0), 0))
-
+    out_ref[:, 4:OUT_W] = jnp.zeros_like(out_ref[:, 4:OUT_W])
     out_ref[:, 0:4] = best_ref[:, 0:4]
-    # diagnostics: row 4 = clusters visited by this tile's narrow phase
-    out_ref[:, 4:8] = jnp.zeros_like(out_ref[:, 4:8])
-    out_ref[:, 4:5] = jnp.broadcast_to(
-        visited_ref[0].astype(jnp.float32), out_ref[:, 4:5].shape
+    if want_attr:
+        out_ref[:, 4:4 + ATTR_ROWS] = battr_ref[:, :]
+    # diagnostics: clusters visited by this tile's narrow phase
+    out_ref[:, 44:45] = jnp.broadcast_to(
+        visited_ref[0].astype(jnp.float32), (out_ref.shape[0], 1)
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_clusters", "block", "interpret"))
-def _run_kernel(rays, cb, tri, order_t, entry_t, n_clusters: int, block: int,
+@functools.partial(
+    jax.jit, static_argnames=("n_clusters", "block", "want_attr", "interpret")
+)
+def _run_kernel(rays, cb_sorted, sb_sorted, order_t, tri, attr,
+                n_clusters: int, block: int, want_attr: bool,
                 interpret: bool):
     n_pad = rays.shape[0]
     grid = n_pad // TILE
+    n_supers_pad = int(sb_sorted.shape[2])
+    scratch = [
+        pltpu.VMEM((TILE, 8), jnp.float32),        # best
+        pltpu.VMEM((TILE, ATTR_ROWS), jnp.float32),  # best attr
+        pltpu.VMEM((CHUNK, 1), jnp.float32),       # chunk candidate counts
+        pltpu.VMEM((n_supers_pad, 1), jnp.float32),  # supercluster counts
+        pltpu.SMEM((1,), jnp.int32),               # visited counter
+    ]
     return pl.pallas_call(
-        functools.partial(_kernel, n_clusters=n_clusters, block=block),
+        functools.partial(
+            _kernel, n_clusters=n_clusters, n_supers_pad=n_supers_pad,
+            block=block, want_attr=want_attr,
+        ),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, 1, n_clusters), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+                (1, 8, n_clusters), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 8, n_supers_pad), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, n_clusters), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
             ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((TILE, 8), jnp.float32),       # best
-            pltpu.VMEM((n_clusters, 1), jnp.float32),  # counts
-            pltpu.VMEM((TILE, 1), jnp.float32),        # per-ray farthest box
-            pltpu.SMEM((1,), jnp.int32),               # done flag
-            pltpu.SMEM((1,), jnp.int32),               # visited counter
-        ],
+        out_specs=pl.BlockSpec(
+            (TILE, OUT_W), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, OUT_W), jnp.float32),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(rays, cb, tri, order_t, entry_t)
+    )(rays, cb_sorted, sb_sorted, order_t, tri, attr)
 
 
 def _coherence_key(scene, o, d):
-    """Sort key restoring ray-tile spatial coherence: 21-bit morton of the
-    origin within the scene bounds + 3-bit direction octant.  Bounced
-    wavefronts are incoherent; sorting them groups rays that will enter
-    the same clusters into the same tile (and parks terminated rays —
-    origins far outside — into all-dead tiles that cost nothing)."""
+    """Sort key restoring ray-tile spatial coherence: origin-major,
+    direction-minor morton mix.  Bounced wavefronts are incoherent;
+    sorting groups rays that will enter the same clusters into the same
+    tile (and parks terminated rays — origins far outside — into
+    all-dead tiles that cost nothing).  The direction bits matter most
+    for camera rays: all share one origin, and without them the sort
+    degenerates to scanline order whose 1024-ray tiles are two full
+    image rows — a frustum crossing the whole scene."""
     from ti_raytrace_tpu.utils.morton import morton3d
 
     lo = scene.aabb_min
     span = jnp.maximum(scene.aabb_max - scene.aabb_min, 1e-12)
     q = [(o[k] - lo[k]) / span[k] for k in range(3)]
-    code = morton3d(q[0], q[1], q[2]) >> 9  # 21 bits of spatial locality
-    key = code
-    for k in range(3):
-        key = (key << 1) | (d[k] > 0).astype(jnp.uint32)
-    return key
+    code_o = morton3d(q[0], q[1], q[2])                  # 30 bits
+    code_d = morton3d(
+        d[0] * 0.5 + 0.5, d[1] * 0.5 + 0.5, d[2] * 0.5 + 0.5
+    )                                                    # 30 bits
+    return code_o, code_d
 
 
 def _tile_order(rays, n_tiles, cb, n_clusters):
-    """Per-tile front-to-back cluster order + conservative entry bounds.
+    """Per-tile front-to-back cluster order + permuted bounds.
 
-    For each tile: bound its ray origins with a sphere, order clusters by
-    point-to-box distance from the sphere centre, and lower-bound every
-    ray's box entry by (distance - radius).  Returns (order (C, n_tiles)
-    int32, entry (C, n_tiles) f32 sorted ascending per tile)."""
+    For each tile: order superclusters (GROUP consecutive clusters, which
+    are spatially adjacent by median-split construction) by point-to-box
+    distance from the tile's mean origin — a conservative front-to-back
+    order for every ray in the tile, at a 16x smaller sort/permutation
+    cost than per-cluster ordering (the in-kernel candidate refresh runs
+    at GROUP granularity anyway).  Returns (order (n_tiles, 1, C) int32,
+    cb_sorted (n_tiles, 8, C), sb_sorted (n_tiles, 8, S_pad) supercluster
+    bounds in the same per-tile order, validity in row 6)."""
+    S = n_clusters // GROUP  # superclusters: GROUP consecutive clusters
+    S_pad = ((S + CHUNK - 1) // CHUNK) * CHUNK
     org = rays[:, 0:3].reshape(n_tiles, TILE, 3)
     cent = jnp.mean(org, axis=1)                                   # (T,3)
-    radius = jnp.sqrt(
-        jnp.max(jnp.sum((org - cent[:, None, :]) ** 2, axis=-1), axis=1)
-    )                                                              # (T,)
-    bmin = cb[0:3, :n_clusters].T                                  # (C,3)
-    bmax = cb[3:6, :n_clusters].T
+    bmin = cb[0:3, :n_clusters].T.reshape(S, GROUP, 3).min(axis=1)  # (S,3)
+    bmax = cb[3:6, :n_clusters].T.reshape(S, GROUP, 3).max(axis=1)
+    valid = cb[6, :n_clusters].reshape(S, GROUP).max(axis=1)       # (S,)
     p = jnp.clip(cent[:, None, :], bmin[None], bmax[None])
-    dist = jnp.sqrt(jnp.sum((p - cent[:, None, :]) ** 2, axis=-1))  # (T,C)
-    entry = jnp.maximum(dist - radius[:, None], 0.0)
-    order = jnp.argsort(entry, axis=1).astype(jnp.int32)
-    entry_sorted = jnp.take_along_axis(entry, order, axis=1)
-    # (n_tiles, 1, C): per-tile SMEM rows (the extra axis satisfies the
-    # TPU block-shape rule: last two block dims equal the array dims)
-    return order[:, None, :], entry_sorted[:, None, :]
+    dist = jnp.sum((p - cent[:, None, :]) ** 2, axis=-1)           # (T,S)
+    order_s = jnp.argsort(dist, axis=1).astype(jnp.int32)          # (T,S)
+    order = (
+        order_s[:, :, None] * GROUP
+        + jnp.arange(GROUP, dtype=jnp.int32)[None, None, :]
+    ).reshape(n_tiles, n_clusters)
+    cb_r = cb.reshape(8, S, GROUP)
+    cb_sorted = jnp.take(cb_r, order_s, axis=1)                    # (8,T,S,G)
+    cb_sorted = jnp.moveaxis(cb_sorted, 1, 0).reshape(n_tiles, 8, n_clusters)
+    sb = jnp.concatenate(
+        [bmin.T, bmax.T, valid[None, :], jnp.zeros((1, S), jnp.float32)], 0
+    )                                                              # (8,S)
+    sb_sorted = jnp.take(sb, order_s, axis=1)                      # (8,T,S)
+    sb_sorted = jnp.moveaxis(sb_sorted, 1, 0)                      # (T,8,S)
+    sb_sorted = jnp.pad(sb_sorted, ((0, 0), (0, 0), (0, S_pad - S)))
+    # (n_tiles, 1, C): the extra axis satisfies the TPU block-shape rule
+    # (last two block dims must equal the array dims)
+    return order[:, None, :], cb_sorted, sb_sorted
+
+
+def _static_order(n_tiles, cb, n_clusters):
+    """Trivial ordering for small wavefronts: clusters in their static
+    median-split order, bounds broadcast to every tile.  No argsort, no
+    permutation gathers — the per-ray (tn < best_t) pruning still works,
+    just without the front-to-back guarantee."""
+    S = n_clusters // GROUP
+    S_pad = ((S + CHUNK - 1) // CHUNK) * CHUNK
+    order = jnp.broadcast_to(
+        jnp.arange(n_clusters, dtype=jnp.int32)[None, None, :],
+        (n_tiles, 1, n_clusters),
+    )
+    cb_sorted = jnp.broadcast_to(cb[None], (n_tiles, 8, n_clusters))
+    bmin = cb[0:3, :n_clusters].T.reshape(S, GROUP, 3).min(axis=1)
+    bmax = cb[3:6, :n_clusters].T.reshape(S, GROUP, 3).max(axis=1)
+    valid = cb[6, :n_clusters].reshape(S, GROUP).max(axis=1)
+    sb = jnp.concatenate(
+        [bmin.T, bmax.T, valid[None, :], jnp.zeros((1, S), jnp.float32)], 0
+    )
+    sb = jnp.pad(sb, ((0, 0), (0, S_pad - S)))
+    sb_sorted = jnp.broadcast_to(sb[None], (n_tiles, 8, S_pad))
+    return order, cb_sorted, sb_sorted
 
 
 def trace_clustered(
     scene, o, d, interpret: bool = False, sort_rays: bool = True,
+    want_attr: bool = False,
 ):
     """Closest hit via the cluster kernel + dense analytic-shape tail.
 
-    o, d: planar (3, N).  Returns (t, prim, uv_bary (2,N)).
+    o, d: planar (3, N).  Returns (t, prim, uv_bary (2,N)) or, with
+    want_attr, (t, prim, uv_bary, attr (A,N)).
     """
     N = o.shape[1]
     n_pad = ((N + TILE - 1) // TILE) * TILE
@@ -295,30 +397,49 @@ def trace_clustered(
     rays = rays.at[:N, 3:6].set(jnp.swapaxes(d, 0, 1))
     # padding rays: direction 0 -> safe_inv makes them miss everything
 
+    # Small wavefronts (BDPT walks/connections trace dozens of ~10k-lane
+    # wavefronts per frame) skip the coherence sort AND the per-tile
+    # ordering: the sort/argsort instances dominate both compile time and
+    # runtime at that scale, while the kernel's per-ray pruning still
+    # works under the static median-split cluster order.
+    if N <= SMALL_WAVEFRONT:
+        sort_rays = False
+
     if sort_rays:
-        key = _coherence_key(scene, o, d)
-        key = jnp.pad(key, (0, n_pad - N), constant_values=jnp.uint32(0xFFFFFFFF))
+        key_o, key_d = _coherence_key(scene, o, d)
+        key_o = jnp.pad(key_o, (0, n_pad - N), constant_values=jnp.uint32(0xFFFFFFFF))
+        key_d = jnp.pad(key_d, (0, n_pad - N), constant_values=jnp.uint32(0xFFFFFFFF))
         idx = jnp.arange(n_pad, dtype=jnp.int32)
-        _, order = jax.lax.sort((key, idx), num_keys=1, is_stable=True)
+        _, _, order = jax.lax.sort((key_o, key_d, idx), num_keys=2, is_stable=True)
         rays = jnp.take(rays, order, axis=0)
 
     cb = scene.cluster_bounds
     tri = scene.cluster_tri
+    attr = scene.cluster_attr
     n_clusters = int(cb.shape[1])
     block = int(tri.shape[1]) // n_clusters
 
     n_tiles = n_pad // TILE
-    order_t, entry_t = _tile_order(rays, n_tiles, cb, n_clusters)
+    if N <= SMALL_WAVEFRONT:
+        order_t, cb_sorted, sb_sorted = _static_order(n_tiles, cb, n_clusters)
+    else:
+        order_t, cb_sorted, sb_sorted = _tile_order(rays, n_tiles, cb, n_clusters)
 
-    out = _run_kernel(rays, cb, tri, order_t, entry_t, n_clusters, block, interpret)
+    out = _run_kernel(
+        rays, cb_sorted, sb_sorted, order_t, tri, attr, n_clusters, block,
+        want_attr, interpret,
+    )
     if sort_rays:
         inv = jnp.zeros((n_pad,), jnp.int32).at[order].set(
             jnp.arange(n_pad, dtype=jnp.int32)
         )
+        if not want_attr:
+            out = out[:, 0:4]  # unsort-gather only what the caller reads
         out = jnp.take(out, inv, axis=0)
     t = out[:N, 0]
     prim = out[:N, 1].astype(jnp.int32)
     uv = jnp.swapaxes(out[:N, 2:4], 0, 1)
+    attr_out = jnp.swapaxes(out[:N, 4:4 + ATTR_ROWS], 0, 1) if want_attr else None
 
     # analytic shapes: dense tail over the (few) PRIM_SHAPE prims
     P = scene.n_prims
@@ -345,5 +466,11 @@ def trace_clustered(
         t = jnp.where(hit, ts, t)
         prim = jnp.where(hit, pid, prim)
         uv = jnp.where(hit[None, :], 0.0, uv)
+        if want_attr:
+            # static pid -> a plain column slice, not a gather
+            attr_out = jnp.where(hit[None, :], scene.prim_attr[:, pid][:, None],
+                                 attr_out)
 
+    if want_attr:
+        return t, prim, uv, attr_out
     return t, prim, uv

@@ -145,6 +145,12 @@ class SceneBuilder:
         return pos, nrm, uv, mat
 
     def build(self, smooth_normals: bool = False, spectral: bool = False) -> SceneData:
+        return device_scene(self.build_host(smooth_normals, spectral))
+
+    def build_host(self, smooth_normals: bool = False, spectral: bool = False) -> dict:
+        """Assemble the full host-side array dict (everything device_scene
+        needs) — separable so callers can cache it to disk (np.savez) and
+        skip the ~10 s mesh/BVH/cluster build on re-runs."""
         pos, nrm, uv, tri_mat = self._concat_tris()
         T = pos.shape[0]
         S = len(self.shapes)
@@ -273,7 +279,7 @@ class SceneBuilder:
         host["prim_attr"] = build_prim_attr(host, spectral=spectral)
         host["light_attr"] = build_light_attr(host, spectral=spectral)
         host.update(build_clusters(host))
-        return device_scene(host)
+        return host
 
 
 def _smooth_normals(pos, nrm):
