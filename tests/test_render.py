@@ -143,6 +143,69 @@ def test_sharded_matches_shape(cornell):
     assert img.mean() > 0.01
 
 
+def test_sharded_bdpt_matches_single_device(cornell, monkeypatch):
+    """8-device BDPT (psum splat reduction) must equal the same
+    computation run shard-by-shard on one device: identical per-shard
+    keys, radiance shards concatenated, splat films summed.  Subpath
+    depths and strategies are shrunk (walk depth 3/2, depth <= 2 incl.
+    the e=1 splat family) — the full graph under shard_map takes ~20
+    minutes to partition on the CPU backend, and the sharding semantics
+    don't depend on depth or strategy count."""
+    from ti_raytrace_tpu.integrators import bdpt_rgb
+    from ti_raytrace_tpu.parallel.shard import (
+        make_mesh,
+        render_bdpt_frame_sharded,
+        replicate_scene,
+    )
+
+    monkeypatch.setattr(bdpt_rgb, "EYE_MAX_DEPTH", 3)
+    monkeypatch.setattr(bdpt_rgb, "LIGHT_MAX_DEPTH", 2)
+    monkeypatch.setattr(bdpt_rgb, "MAX_DEPTH", 1)
+
+    strategies = lambda e, l: e + l <= 4  # noqa: E731
+
+    scene, _, spec, cam = cornell
+    mesh = make_mesh()
+    scene_r = replicate_scene(scene, mesh)
+    key = jax.random.PRNGKey(5)
+    img_sharded = np.asarray(
+        render_bdpt_frame_sharded(scene_r, spec, cam, jnp.int32(1), key, mesh,
+                                  strategies=strategies)
+    )
+
+    # single-device mirror with the exact shard key discipline
+    from ti_raytrace_tpu.camera import ray_directions, ray_origins
+
+    k_cam, k_eye, k_light, k_conn = jax.random.split(key, 4)
+    o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
+    d = jnp.swapaxes(ray_directions(spec, cam, jnp.int32(1), k_cam), 0, 1)
+    N = spec.width * spec.height
+    ns = N // mesh.size
+    parts = []
+    splat_total = jnp.zeros((spec.width, spec.height, 3), jnp.float32)
+    for i in range(mesh.size):
+        sl = slice(i * ns, (i + 1) * ns)
+        eye, eye_count = bdpt_rgb.build_eye_path_rays(
+            scene, o[:, sl], d[:, sl], jax.random.fold_in(k_eye, i)
+        )
+        light, light_count = bdpt_rgb.build_light_path(
+            scene, ns, jax.random.fold_in(k_light, i)
+        )
+        radiance, splat = bdpt_rgb._connections(
+            scene, spec, cam, eye, eye_count, light, light_count,
+            jax.random.fold_in(k_conn, i), strategies=strategies,
+        )
+        parts.append(jnp.swapaxes(radiance, 0, 1))
+        splat_total = splat_total + splat
+    img_ref = np.asarray(
+        jnp.concatenate(parts, 0).reshape(spec.width, spec.height, 3)
+        + splat_total
+    )
+    assert img_sharded.shape == img_ref.shape == (32, 32, 3)
+    assert img_sharded.mean() > 0.0
+    np.testing.assert_allclose(img_sharded, img_ref, rtol=1e-4, atol=1e-5)
+
+
 def test_pt_spec_smoke():
     from ti_raytrace_tpu.integrators import pt_spec
 

@@ -333,26 +333,47 @@ def _light_origin_pdf(ev):
     return 1.0 / jnp.maximum(ev["area"], 1e-12)
 
 
+def _cos_in(v):
+    """|wo . n| folded into every stored vertex beta (reference beta
+    convention, BDPT_RGB.py:148-152/:160) — the corrected estimator
+    divides it back out."""
+    return jnp.maximum(jnp.abs(pv.dot(v["wo"], v["normal"])), 1e-6)
+
+
 def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
-                 spec_ctx=None):
-    """All (e, l) strategies; returns (radiance (C,N), splat image)."""
+                 spec_ctx=None, strategies=None, corrected: bool = False):
+    """All (e, l) strategies; returns (radiance (C,N), splat image).
+
+    strategies: optional host-side predicate `f(e, l) -> bool` selecting
+    which strategy families to compile in — a debugging/diagnostic hook
+    (tools/bdpt_decompose.py) passed explicitly, never read from the
+    environment inside the jitted graph.
+
+    corrected=False reproduces the reference's contribution formulas
+    verbatim — which are NOT a consistent estimator: every connection
+    edge's BSDF is divided by its sampling pdf as if it had been sampled
+    (BDPT_RGB.py:516-517, :549-551, :583-585), stored betas fold an
+    extra |cos| of the incoming direction, the l=0 emitter hit keeps
+    that cosine, and the e=1 splat omits the pinhole importance.  The
+    published goldens embody these, so they stay the default (PARITY.md
+    has decomposition numbers: the reference's own veach BDPT golden is
+    1.27x its own PT golden).  corrected=True restores the standard
+    vertex-area-measure estimator: f (not f/pdf) on connection edges,
+    betas un-cosined, l=0 without the cosine, and the e=1 splat carrying
+    the pinhole importance fx*fy/cos^2 and the 1/N_paths normalization —
+    BDPT then converges to PT (tests/test_golden.py)."""
     N = eye[0]["pos"].shape[1]
     C_ = 1 if spec_ctx is not None else 3
     radiance = jnp.zeros((C_, N), jnp.float32)
     splat = jnp.zeros((spec.width, spec.height, 3), jnp.float32)
     n_lights = jnp.float32(scene.n_lights)
 
-    import os
-
-    allow = os.environ.get("TIRAY_BDPT_STRATEGIES")  # e.g. "l<=1" debug
     for e in range(1, EYE_MAX_DEPTH + 1):
         for l in range(0, LIGHT_MAX_DEPTH + 1):
             depth = l + e - 2
             if (l == 1 and e == 1) or depth < 0 or depth > MAX_DEPTH:
                 continue
-            if allow == "l<=1" and (l > 1 or e == 1):
-                continue
-            if allow == "noe1" and e == 1:
+            if strategies is not None and not strategies(e, l):
                 continue
             k = jax.random.fold_in(key, e * 16 + l)
             ev = eye[e - 1]
@@ -364,7 +385,8 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
             if l == 0:
                 # eye path hit the light directly (reference :493-497)
                 sel = active & (ev["vtype"] == V_LIGHT)
-                contrib = jnp.where(sel[None], ev["beta"], 0.0)
+                beta_e = ev["beta"] / _cos_in(ev)[None] if corrected else ev["beta"]
+                contrib = jnp.where(sel[None], beta_e, 0.0)
                 ov["eye_rpdf_e1"] = _light_origin_pdf(ev) / n_lights
                 if e > 1:
                     em = eye[e - 2]
@@ -403,13 +425,31 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                 tdist = jnp.maximum(pv.length(lv["pos"] - cam_o), 1e-6)
                 g = jnp.abs(ndl) / (tdist * tdist)
                 sel = sel & (pdf > 0.0)
-                contrib = jnp.where(
-                    sel[None],
-                    (g * brdf / jnp.maximum(pdf, 1e-12))[None]
-                    * lv["beta"]
-                    * lv["reflect"],
-                    0.0,
-                )
+                if corrected:
+                    # pinhole importance: We = fx*fy / cos^3(theta) per
+                    # unit pixel area; with G's cos(theta) at the lens
+                    # this is fx*fy/cos^2; 1/N normalizes the N light
+                    # subpaths this frame against the film's N pixels
+                    axis_w = cam.view[2, :3]
+                    cos_t = jnp.abs(pv.dot(-wi, jnp.broadcast_to(
+                        axis_w[:, None], (3, N))))
+                    cos_t = jnp.maximum(cos_t, 1e-3)
+                    we = spec.fx * spec.fy / (cos_t * cos_t * jnp.float32(N))
+                    contrib = jnp.where(
+                        sel[None],
+                        (g * we * brdf)[None]
+                        * (lv["beta"] / _cos_in(lv)[None])
+                        * lv["reflect"],
+                        0.0,
+                    )
+                else:
+                    contrib = jnp.where(
+                        sel[None],
+                        (g * brdf / jnp.maximum(pdf, 1e-12))[None]
+                        * lv["beta"]
+                        * lv["reflect"],
+                        0.0,
+                    )
                 # overrides (sample vertex is the lens; eye[0] equals it)
                 if l >= 1:
                     to = eye[0]["pos"] - lv["pos"]
@@ -472,11 +512,13 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                     emission = ls["emission"]
                 else:
                     emission = spec_ctx.light_power_sample(ls)
+                beta_e = ev["beta"] / _cos_in(ev)[None] if corrected else ev["beta"]
+                brdf_term = brdf if corrected else brdf / jnp.maximum(pdf, 1e-12)
                 contrib = jnp.where(
                     sel[None],
                     g[None]
-                    * ev["beta"]
-                    * (brdf / jnp.maximum(pdf, 1e-12))[None]
+                    * beta_e
+                    * brdf_term[None]
                     * ev["reflect"]
                     * emission
                     / jnp.maximum(ls["choice_pdf"], 1e-12)[None],
@@ -544,7 +586,12 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                 dirv = dirv * (1.0 / dist)[None]
                 ndl_l = pv.dot(dirv, lv["snormal"])
                 ndl_e = pv.dot(dirv, ev["snormal"])
-                sh_o = pv.where(sel, lv["pos"], jnp.full((3, N), PARK))
+                # offset off the light vertex's surface (self-hit guard,
+                # see pt_rgb._bounce)
+                lv_from = pv.offset_ray(
+                    lv["pos"], lv["snormal"] * pv.sign_nonzero(ndl_l)[None]
+                )
+                sh_o = pv.where(sel, lv_from, jnp.full((3, N), PARK))
                 t_sh, sh_prim = trace(scene, sh_o, dirv)
                 sel = sel & (sh_prim == ev["prim"]) & (t_sh > C.EPS)
                 brdf_l, pdf_l = disney_evaluate_pdf(
@@ -558,10 +605,12 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                 contrib = jnp.where(
                     sel[None],
                     g[None]
-                    * ev["beta"]
-                    * lv["beta"]
-                    * (brdf_l / jnp.maximum(pdf_l, 1e-12))[None]
-                    * (brdf_e / jnp.maximum(pdf_e, 1e-12))[None]
+                    * (ev["beta"] / _cos_in(ev)[None] if corrected else ev["beta"])
+                    * (lv["beta"] / _cos_in(lv)[None] if corrected else lv["beta"])
+                    * (brdf_l if corrected
+                       else brdf_l / jnp.maximum(pdf_l, 1e-12))[None]
+                    * (brdf_e if corrected
+                       else brdf_e / jnp.maximum(pdf_e, 1e-12))[None]
                     * ev["reflect"]
                     * lv["reflect"],
                     0.0,
@@ -644,7 +693,8 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
     return radiance, splat
 
 
-def render_paths(scene, spec: CameraSpec, cam, frame, key, spec_ctx=None):
+def render_paths(scene, spec: CameraSpec, cam, frame, key, spec_ctx=None,
+                 corrected: bool = False):
     """Shared frame body: subpaths + connections -> (W, H, 3) radiance."""
     N = spec.width * spec.height
     k_eye, k_light, k_conn = jax.random.split(key, 3)
@@ -652,7 +702,8 @@ def render_paths(scene, spec: CameraSpec, cam, frame, key, spec_ctx=None):
     eye, eye_count = build_eye_path(scene, spec, cam, frame, k_eye, spec_ctx)
     light, light_count = build_light_path(scene, N, k_light, spec_ctx)
     radiance, splat = _connections(
-        scene, spec, cam, eye, eye_count, light, light_count, k_conn, spec_ctx
+        scene, spec, cam, eye, eye_count, light, light_count, k_conn, spec_ctx,
+        corrected=corrected,
     )
     if spec_ctx is not None:
         radiance = spec_ctx.to_rgb(radiance)
@@ -660,10 +711,11 @@ def render_paths(scene, spec: CameraSpec, cam, frame, key, spec_ctx=None):
     return img + splat
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def render_frame(scene, spec: CameraSpec, cam, frame, key):
+@partial(jax.jit, static_argnames=("spec", "corrected"))
+def render_frame(scene, spec: CameraSpec, cam, frame, key,
+                 corrected: bool = False):
     """One progressive BDPT frame -> (W, H, 3) radiance."""
-    return render_paths(scene, spec, cam, frame, key)
+    return render_paths(scene, spec, cam, frame, key, corrected=corrected)
 
 
 @partial(jax.jit, static_argnames=("spec", "n_slices"))

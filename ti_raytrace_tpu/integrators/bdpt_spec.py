@@ -93,9 +93,12 @@ def make_render_frame():
         onehot = (
             jnp.arange(NB, dtype=jnp.int32)[:, None] == bins[None, :]
         ).astype(jnp.float32)
-        xyz = jnp.dot(cie, onehot, preferred_element_type=jnp.float32)  # (3,N)
-        rgb = jnp.clip(jnp.einsum("rc,cn->rn", m, xyz), 0.0, 1000.0) * span
-        d65_val = jnp.dot(d65_tab[None, :], onehot)[0]
+        hi = jax.lax.Precision.HIGHEST  # bf16 default would round tables
+        xyz = jnp.dot(cie, onehot, preferred_element_type=jnp.float32,
+                      precision=hi)  # (3,N)
+        rgb = jnp.clip(jnp.einsum("rc,cn->rn", m, xyz, precision=hi),
+                       0.0, 1000.0) * span
+        d65_val = jnp.dot(d65_tab[None, :], onehot, precision=hi)[0]
 
         ctx = SpecCtx(lam=lam, d65_val=d65_val, sensor_rgb=rgb)
         return bdpt_rgb.render_paths(scene, spec, cam, frame, k_path, ctx)

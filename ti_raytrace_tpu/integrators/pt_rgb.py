@@ -156,8 +156,13 @@ def _bounce(scene, carry, key, nee: bool = True, presort: bool = False):
         nee_geo_ok = is_disney & (ndl_surf < 0.0) & (ndl_light > 0.0)
         # park shadow rays of non-disney lanes far outside the scene:
         # their tiles then fail every cluster test and cost nothing (the
-        # dense tracer ignores parking; the cluster tracer exploits it)
-        sh_o = pv.where(is_disney, ls["pos"], jnp.full_like(ls["pos"], 1e9))
+        # dense tracer ignores parking; the cluster tracer exploits it).
+        # The origin is offset off the emitter: a ray starting ON the
+        # sampled triangle self-hits it at t ~ +-1e-7 about half the
+        # time (measured: the veach spot lamp lost ~50% of its NEE),
+        # and a positive self-t reads as full occlusion.
+        sh_from = pv.offset_ray(ls["pos"], ls["normal"])
+        sh_o = pv.where(is_disney, sh_from, jnp.full_like(ls["pos"], 1e9))
         _, sh_prim = trace(scene, sh_o, ls["direction"])
         unoccluded = sh_prim == prim
         nee_brdf, nee_pdf = disney_evaluate_pdf(

@@ -155,7 +155,12 @@ def _bounce(scene, sdata, carry, key):
     ndl_surf = pv.dot(fnormal, ls["direction"])
     ndl_light = pv.dot(ls["normal"], ls["direction"])
     nee_geo_ok = is_disney & (ndl_surf < 0.0) & (ndl_light > 0.0)
-    sh_o = pv.where(is_disney, ls["pos"], jnp.full_like(ls["pos"], 1e9))
+    # offset off the emitter: self-hits at t ~ +-1e-7 kill ~half of NEE
+    # otherwise (see pt_rgb._bounce)
+    sh_o = pv.where(
+        is_disney, pv.offset_ray(ls["pos"], ls["normal"]),
+        jnp.full_like(ls["pos"], 1e9),
+    )
     _, sh_prim = trace(scene, sh_o, ls["direction"])
     unoccluded = sh_prim == prim
     nee_brdf, nee_pdf = disney_evaluate_pdf(

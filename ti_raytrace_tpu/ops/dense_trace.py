@@ -174,10 +174,12 @@ def _sweep(scene, o, d, want_uv: bool):
             u_win = jnp.sum(u * oh_f, axis=0)
             v_win = jnp.sum(v * oh_f, axis=0)
             best_uv = jnp.where(closer[None, :], jnp.stack([u_win, v_win]), best_uv)
+            # HIGHEST: default bf16 MXU passes would round the attrs
             attr_blk = jnp.dot(
                 jax.lax.dynamic_slice_in_dim(attr_pad, p0, blk_rows, axis=1),
                 oh_f,
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             best_attr = jnp.where(closer[None, :], attr_blk, best_attr)
         return best_t, best_prim, best_uv, best_attr

@@ -7,13 +7,18 @@ sharding story is simple and rides ICI exclusively:
     REPLICATED on every device;
   * the ray wavefront and film are SHARDED along the pixel axis (the lane
     axis of every planar (…, N) tensor);
-  * PT needs no cross-device communication at all; BDPT's light-tracing
-    splats land on arbitrary pixels, so each device accumulates a local
-    full-resolution splat film which is `psum`-reduced once per frame
-    (integrators/bdpt_rgb.py) — the only collective in the renderer.
+  * PT needs no cross-device communication at all
+    (render_frame_sharded); BDPT's light-tracing splats land on
+    arbitrary pixels, so each device accumulates a local
+    full-resolution splat film which is `jax.lax.psum`-reduced once per
+    frame (render_bdpt_frame_sharded) — the only collective in the
+    renderer.
 
-`make_mesh()` builds a 1-D mesh over all local devices; `render_sharded`
-wraps an integrator's planar `trace_paths`-style function in `shard_map`.
+`make_mesh()` builds a 1-D mesh over all local devices; the render
+wrappers put the integrators' planar path kernels under `shard_map`.
+The key discipline matches bdpt_rgb.render_frame_sliced (shard i ==
+lane slice i), so an 8-device frame equals the 8-slice single-device
+frame up to splat summation order.
 """
 
 from functools import partial
@@ -72,3 +77,61 @@ def render_frame_sharded(render_paths_fn, scene, spec, cam, frame, key, mesh: Me
 
     radiance = _run(scene, o, d, k_path)
     return jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)
+
+
+def render_bdpt_frame_sharded(scene, spec, cam, frame, key, mesh: Mesh,
+                              strategies=None):
+    """One progressive BDPT frame over the mesh.
+
+    Eye pixels are sharded along the wavefront axis; every device walks
+    its own eye+light subpaths and connects all (e, l) strategies
+    locally.  The e=1 light-tracing strategy splats through the camera
+    onto ARBITRARY pixels (reference BDPT_RGB.py:630-633), so each
+    device scatters into a local full-resolution splat film and the
+    films are `jax.lax.psum`-reduced across the mesh — the one
+    collective this renderer needs.  Key discipline matches
+    bdpt_rgb.render_frame_sliced with n_slices == mesh size.
+
+    strategies: optional host predicate f(e, l) -> bool restricting the
+    compiled strategy families (tests/dryruns: the full ~30-strategy
+    graph under shard_map is expensive to partition/compile on the
+    8-virtual-device CPU backend).
+    """
+    from ti_raytrace_tpu.camera import ray_directions, ray_origins
+    from ti_raytrace_tpu.integrators import bdpt_rgb
+
+    k_cam, k_eye, k_light, k_conn = jax.random.split(key, 4)
+    o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
+    d = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
+
+    scene_specs = jax.tree.map(lambda _: P(), scene)
+    cam_specs = jax.tree.map(lambda _: P(), cam)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(scene_specs, P(None, AXIS), P(None, AXIS), cam_specs,
+                  P(), P(), P()),
+        out_specs=(P(None, AXIS), P()),
+        check_vma=False,
+    )
+    def _run(scene_, o_, d_, cam_, ke, kl, kc):
+        my = jax.lax.axis_index(AXIS)
+        ns = o_.shape[1]
+        eye, eye_count = bdpt_rgb.build_eye_path_rays(
+            scene_, o_, d_, jax.random.fold_in(ke, my)
+        )
+        light, light_count = bdpt_rgb.build_light_path(
+            scene_, ns, jax.random.fold_in(kl, my)
+        )
+        radiance, splat = bdpt_rgb._connections(
+            scene_, spec, cam_, eye, eye_count, light, light_count,
+            jax.random.fold_in(kc, my), strategies=strategies,
+        )
+        # cross-pixel splats: the only cross-device reduction
+        splat = jax.lax.psum(splat, AXIS)
+        return radiance, splat
+
+    radiance, splat = _run(scene, o, d, cam, k_eye, k_light, k_conn)
+    img = jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)
+    return img + splat

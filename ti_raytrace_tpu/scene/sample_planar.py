@@ -6,6 +6,7 @@ scene.light_attr (32, L) with a one-hot matmul — for typical light counts
 this is a sliver of MXU time and zero gather traffic.
 """
 
+import jax
 import jax.numpy as jnp
 
 from ti_raytrace_tpu.core import constants as C
@@ -20,7 +21,12 @@ def _pick_light(scene, u_pick):
     onehot = (
         jnp.arange(L, dtype=jnp.int32)[:, None] == idx[None, :]
     ).astype(jnp.float32)
-    col = jnp.dot(scene.light_attr, onehot, preferred_element_type=jnp.float32)
+    # HIGHEST: the MXU's default bf16 passes round the extracted column —
+    # prim ids come back off-by-rounding and light positions shift ~0.4%,
+    # which (measured) displaced veach's spot-lamp shadow origins into the
+    # shade and killed its NEE on TPU while CPU runs were exact
+    col = jnp.dot(scene.light_attr, onehot, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     return col, idx
 
 

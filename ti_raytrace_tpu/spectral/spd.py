@@ -15,6 +15,7 @@ difference; the reference interpolates continuously, PARITY.md).
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -104,6 +105,9 @@ def hero_onehot(u):
 
 def hero_select(matrix, onehot):
     """(R, NB) @ (NB, N) -> (R, N) per-lane hero values on the MXU."""
+    # HIGHEST: exact table values through the one-hot (bf16 would round)
     return jnp.dot(
-        jnp.asarray(matrix, jnp.float32), onehot, preferred_element_type=jnp.float32
+        jnp.asarray(matrix, jnp.float32), onehot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
