@@ -39,8 +39,9 @@ def get_integrator(name: str, cfg_sky=None, compaction=None, scene=None):
 
         from ti_raytrace_tpu.integrators import bdpt_rgb
 
-        # the 13-vertex wavefront of a full 512^2 frame exceeds HBM
-        return functools.partial(bdpt_rgb.render_frame_sliced, n_slices=4)
+        # 512^2 runs unsliced since the r2 tracer rework; 2 slices measured
+        # slightly faster (0.92 vs 1.06 s/frame) and halve peak HBM
+        return functools.partial(bdpt_rgb.render_frame_sliced, n_slices=2)
     if name == "bdpt_spec":
         from ti_raytrace_tpu.integrators import bdpt_spec
 

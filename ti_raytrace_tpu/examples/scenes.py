@@ -147,7 +147,7 @@ def prism_rainbow():
     )
 
 
-BENCH_SCHEDULE = ((1, 4), (4, 16))
+BENCH_SCHEDULE = ((1, 4), (4, 16), (8, 64))
 """Measured-optimal compaction schedule for benchmark_100k (occupancy
 drops to ~0.18 after bounce 1); bench.py verifies zero overflow kills
 at runtime via render_frame_stats, so a scene change that invalidates

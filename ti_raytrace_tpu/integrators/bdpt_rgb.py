@@ -368,13 +368,71 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
     splat = jnp.zeros((spec.width, spec.height, 3), jnp.float32)
     n_lights = jnp.float32(scene.n_lights)
 
-    for e in range(1, EYE_MAX_DEPTH + 1):
-        for l in range(0, LIGHT_MAX_DEPTH + 1):
+    pairs = [
+        (e, l)
+        for e in range(1, EYE_MAX_DEPTH + 1)
+        for l in range(0, LIGHT_MAX_DEPTH + 1)
+        if not ((l == 1 and e == 1) or l + e - 2 < 0 or l + e - 2 > MAX_DEPTH)
+        and (strategies is None or strategies(e, l))
+    ]
+
+    # ---- pass 1: every strategy's shadow ray, traced as ONE wavefront.
+    # ~28 sequential per-strategy traces dominated the BDPT frame (each
+    # pays the tracer's fixed sort/launch costs at the full slice width);
+    # one concatenated trace amortizes them ~28x.  The per-strategy RNG
+    # keys and geometry are recomputed identically in pass 2 (the draws
+    # are deterministic), so nothing else changes.
+    occ = {}
+    req_o, req_d, req_tags = [], [], []
+    for (e, l) in pairs:
+        k = jax.random.fold_in(key, e * 16 + l)
+        ev = eye[e - 1]
+        active = (eye_count >= e) & ((light_count >= l) if l > 0 else True)
+        if l == 0:
+            continue
+        if e == 1:
+            lv = light[l - 1]
+            _, _, wi_rows, vis = project(spec, cam, jnp.swapaxes(lv["pos"], 0, 1))
+            wi = jnp.swapaxes(wi_rows, 0, 1)
+            ndl = pv.dot(wi, lv["snormal"])
+            sel = (
+                active & vis & (lv["delta"] != 1.0) & (ndl < 0.0)
+                & (lv["vtype"] == V_SURFACE)
+            )
+            cam_o = jnp.broadcast_to(cam.eye[:, None], (3, N))
+            sh_o = pv.where(sel, cam_o, jnp.full((3, N), PARK))
+            req_o.append(sh_o); req_d.append(wi); req_tags.append((e, l))
+        elif l == 1:
+            u3 = jax.random.uniform(k, (3, N), dtype=jnp.float32)
+            surface = pv.offset_ray(ev["pos"], ev["snormal"])
+            ls = sample_li(scene, surface, u3)
+            sel = active & (ev["delta"] != 1.0) & (ev["vtype"] == V_SURFACE)
+            sh_o = pv.where(sel, surface, jnp.full((3, N), PARK))
+            req_o.append(sh_o); req_d.append(-ls["direction"]); req_tags.append((e, l))
+        else:
+            lv = light[l - 1]
+            sel = (
+                active & (lv["delta"] != 1.0) & (ev["delta"] != 1.0)
+                & (ev["vtype"] == V_SURFACE) & (lv["vtype"] == V_SURFACE)
+            )
+            dirv = ev["pos"] - lv["pos"]
+            dist = jnp.maximum(pv.length(dirv), 1e-6)
+            dirv = dirv * (1.0 / dist)[None]
+            ndl_l = pv.dot(dirv, lv["snormal"])
+            lv_from = pv.offset_ray(
+                lv["pos"], lv["snormal"] * pv.sign_nonzero(ndl_l)[None]
+            )
+            sh_o = pv.where(sel, lv_from, jnp.full((3, N), PARK))
+            req_o.append(sh_o); req_d.append(dirv); req_tags.append((e, l))
+    if req_tags:
+        t_all, prim_all = trace(
+            scene, jnp.concatenate(req_o, 1), jnp.concatenate(req_d, 1)
+        )
+        for i, tag in enumerate(req_tags):
+            occ[tag] = (t_all[i * N:(i + 1) * N], prim_all[i * N:(i + 1) * N])
+
+    for (e, l) in pairs:
             depth = l + e - 2
-            if (l == 1 and e == 1) or depth < 0 or depth > MAX_DEPTH:
-                continue
-            if strategies is not None and not strategies(e, l):
-                continue
             k = jax.random.fold_in(key, e * 16 + l)
             ev = eye[e - 1]
             active = (eye_count >= e) & ((light_count >= l) if l > 0 else True)
@@ -416,8 +474,7 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                     & (lv["vtype"] == V_SURFACE)
                 )
                 cam_o = jnp.broadcast_to(cam.eye[:, None], (3, N))
-                sh_o = pv.where(sel, cam_o, jnp.full((3, N), PARK))
-                _, sh_prim = trace(scene, sh_o, wi)
+                _, sh_prim = occ[(e, l)]
                 sel = sel & (sh_prim == lv["prim"])
                 brdf, pdf = disney_evaluate_pdf(
                     lv["snormal"], -lv["wo"], -wi, lv["metallic"], lv["roughness"]
@@ -500,8 +557,7 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                 ndl_l = pv.dot(wi, ls["normal"])
                 ndl_e = pv.dot(wi, ev["snormal"])
                 sel = active & (ev["delta"] != 1.0) & (ev["vtype"] == V_SURFACE)
-                sh_o = pv.where(sel, surface, jnp.full((3, N), PARK))
-                t_sh, sh_prim = trace(scene, sh_o, -wi)
+                t_sh, sh_prim = occ[(e, l)]
                 sel = sel & (sh_prim == ls["prim"]) & (t_sh > C.EPS)
                 brdf, pdf = disney_evaluate_pdf(
                     ev["snormal"], -ev["wo"], -wi, ev["metallic"], ev["roughness"]
@@ -586,13 +642,7 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                 dirv = dirv * (1.0 / dist)[None]
                 ndl_l = pv.dot(dirv, lv["snormal"])
                 ndl_e = pv.dot(dirv, ev["snormal"])
-                # offset off the light vertex's surface (self-hit guard,
-                # see pt_rgb._bounce)
-                lv_from = pv.offset_ray(
-                    lv["pos"], lv["snormal"] * pv.sign_nonzero(ndl_l)[None]
-                )
-                sh_o = pv.where(sel, lv_from, jnp.full((3, N), PARK))
-                t_sh, sh_prim = trace(scene, sh_o, dirv)
+                t_sh, sh_prim = occ[(e, l)]
                 sel = sel & (sh_prim == ev["prim"]) & (t_sh > C.EPS)
                 brdf_l, pdf_l = disney_evaluate_pdf(
                     lv["snormal"], -lv["wo"], dirv, lv["metallic"], lv["roughness"]
