@@ -21,7 +21,12 @@ def timeit(fn, n=5):
 
 
 def main():
+    from ti_raytrace_tpu.core.tpu_env import fix_stale_platform, wait_for_device
+    fix_stale_platform()
+
     import jax
+
+    wait_for_device()
     import jax.numpy as jnp
 
     from ti_raytrace_tpu.camera import CameraSpec, orbit_camera, ray_directions, ray_origins
@@ -73,7 +78,7 @@ def main():
     dt = timeit(lambda: jax.block_until_ready(prep(o, d)))
     log(f"prep (sort + tile_order): {dt*1e3:.2f} ms")
     out = jax.block_until_ready(kern(rays_s, order_t, cb_sorted, sb_sorted))
-    vis = np.asarray(out[::TILE, 44])
+    vis = np.asarray(out[::TILE, ct.VISITED_COL])
     log(f"PRIMARY visited/tile (of {n_clusters}): mean={vis.mean():.1f} "
         f"p50={np.percentile(vis,50):.0f} p90={np.percentile(vis,90):.0f} max={vis.max():.0f}")
     dt = timeit(lambda: jax.block_until_ready(kern(rays_s, order_t, cb_sorted, sb_sorted)))
@@ -91,7 +96,7 @@ def main():
         f"b2={float(np.asarray(c2['alive']).mean()):.3f}")
     rays_s2, order_t2, cb2, sb2 = jax.block_until_ready(prep(c2["origin"], c2["direction"]))
     out2 = jax.block_until_ready(kern(rays_s2, order_t2, cb2, sb2))
-    vis2 = np.asarray(out2[::TILE, 44])
+    vis2 = np.asarray(out2[::TILE, ct.VISITED_COL])
     log(f"BOUNCED visited/tile: mean={vis2.mean():.1f} "
         f"p50={np.percentile(vis2,50):.0f} p90={np.percentile(vis2,90):.0f} max={vis2.max():.0f}")
     dt = timeit(lambda: jax.block_until_ready(kern(rays_s2, order_t2, cb2, sb2)))

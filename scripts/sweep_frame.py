@@ -16,7 +16,12 @@ def log(*a):
 
 
 def main():
+    from ti_raytrace_tpu.core.tpu_env import fix_stale_platform, wait_for_device
+    fix_stale_platform()
+
     import jax
+
+    wait_for_device()
     import jax.numpy as jnp
 
     from ti_raytrace_tpu.ops import cluster_trace as ct
@@ -46,19 +51,30 @@ def main():
 
     n_frames = int(os.environ.get("N_FRAMES", "1"))
     if n_frames > 1:
-        fr = jax.jit(lambda k: pt_rgb.render_frames_batched(
-            scene, spec, cam, jnp.int32(1), k, n_frames, compaction, nee))
+        from ti_raytrace_tpu import film as film_mod
+
+        fl = film_mod.new_film(512, 512)
+        step = lambda f: pt_rgb.render_film_frames(  # noqa: E731
+            scene, spec, cam, f, n_frames, compaction, nee)
+        t0 = time.time()
+        fl, _ = step(fl); fl.hdr.block_until_ready()
+        log(f"compile+first: {time.time()-t0:.1f}s  mean={float(np.asarray(fl.hdr).mean()):.6f}")
+        best = 1e9
+        for _ in range(6):
+            t0 = time.perf_counter()
+            fl, _ = step(fl); fl.hdr.block_until_ready()
+            best = min(best, time.perf_counter() - t0)
     else:
         fr = jax.jit(lambda k: pt_rgb.render_frame(scene, spec, cam, jnp.int32(1), k,
                                                    compaction, nee))
-    t0 = time.time()
-    img = fr(key); img.block_until_ready()
-    log(f"compile+first: {time.time()-t0:.1f}s  mean={float(np.asarray(img).mean()):.6f}")
-    best = 1e9
-    for i in range(6):
-        t0 = time.perf_counter()
-        fr(jax.random.fold_in(key, i)).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
+        t0 = time.time()
+        img = fr(key); img.block_until_ready()
+        log(f"compile+first: {time.time()-t0:.1f}s  mean={float(np.asarray(img).mean()):.6f}")
+        best = 1e9
+        for i in range(6):
+            t0 = time.perf_counter()
+            fr(jax.random.fold_in(key, i)).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
     log(f"TILE={tile} GROUP={group} comp={compaction} nf={n_frames}: "
         f"{best*1e3:.1f} ms -> {n_frames/best:.2f} fps")
 

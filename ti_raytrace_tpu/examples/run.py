@@ -12,6 +12,10 @@ import argparse
 import json
 import time
 
+from ti_raytrace_tpu.core.tpu_env import fix_stale_platform
+
+fix_stale_platform()  # must run before the first `import jax`
+
 from ti_raytrace_tpu import film as film_mod
 from ti_raytrace_tpu.examples.scenes import EXAMPLES, make_camera
 from ti_raytrace_tpu.metrics import RenderMeter
