@@ -26,7 +26,14 @@ def log(*a):
 
 
 def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ti_raytrace_tpu.core.tpu_env import fix_stale_platform, wait_for_device
+
+    fix_stale_platform()  # env may pin the stale 'axon' platform name
+
     import jax
+
+    wait_for_device()  # ride out a lingering grant from a killed process
 
     try:  # persistent compile cache: cuts repeat-run startup
         jax.config.update("jax_compilation_cache_dir",
@@ -59,42 +66,42 @@ def main():
     compaction = cfg.compaction
     log(f"nee={nee} compaction={compaction}")
 
-    import functools
-
-    import jax as _jax
     import jax.numpy as jnp
 
-    def jnp_zero():
-        return jnp.int32(0)
+    # 4 sequential frames per dispatch: amortizes the ~30 ms tunnel
+    # dispatch floor (measured 148.8 -> 127 ms/frame, scripts/exp_r3e.py);
+    # bit-identical to 4 single-frame dispatches (render_film_frames).
+    KF = 4
 
-    @functools.partial(_jax.jit, donate_argnums=(0,))
-    def step(fl, ov_total):
-        """One dispatch per frame: render + overflow + film accumulate."""
-        rad, ov = pt_rgb.render_frame_stats(
-            scene, spec, cam, fl.frame, fl.key, compaction, nee
+    def step(fl):
+        fl, ov = pt_rgb.render_film_frames(
+            scene, spec, cam, fl, KF, compaction, nee
         )
-        return film_mod.accumulate(fl, rad), ov_total + ov
+        return fl, ov
 
     fl = film_mod.new_film(size, size)
     t0 = time.time()
-    fl, ov_total = step(fl, jnp_zero())
+    fl, ov_total = step(fl)
     fl.hdr.block_until_ready()
-    log(f"compile + first frame: {time.time() - t0:.1f}s")
+    log(f"compile + first {KF} frames: {time.time() - t0:.1f}s")
 
-    n = 16
+    n_disp = 4
     times = []
     t0 = time.time()
-    for _ in range(n):
+    for _ in range(n_disp):
         tf = time.perf_counter()
-        fl, ov_total = step(fl, ov_total)
-        fl.hdr.block_until_ready()  # per-frame sync: robust through the tunnel
+        fl, ov = step(fl)
+        ov_total = ov_total + ov
+        fl.hdr.block_until_ready()  # per-dispatch sync: robust through the tunnel
         times.append(time.perf_counter() - tf)
     dt = time.time() - t0
+    n = n_disp * KF
     fps = n / dt
     overflow_total = int(np.asarray(ov_total))
-    log(f"{n} frames in {dt:.2f}s (best {min(times)*1e3:.1f} ms, median "
-        f"{sorted(times)[n // 2]*1e3:.1f} ms); compaction overflow kills: "
-        f"{overflow_total}"
+    log(f"{n} frames in {dt:.2f}s ({n_disp} dispatches, best "
+        f"{min(times)/KF*1e3:.1f} ms/frame, median "
+        f"{sorted(times)[n_disp // 2]/KF*1e3:.1f} ms/frame); "
+        f"compaction overflow kills: {overflow_total}"
         + (" (estimator exact)" if overflow_total == 0 else " (DEPTH BIAS!)"))
     try:
         film_mod.save_png(fl, "/tmp/bench_render.png")

@@ -159,9 +159,13 @@ def benchmark_100k(n_target: int = 100_000, cache: bool = True):
     ~100k-triangle mesh in the single_model configuration.  `mc.obj` is a
     missing blob upstream, so the mesh is a densified Teapot.  The host
     arrays (mesh + BVH + clusters + packs, ~10 s to build) are cached
-    under .cache/ keyed by the triangle target."""
+    under .cache/ keyed by the triangle target AND the build format
+    version — bump scene.build.BUILD_FORMAT_VERSION whenever the
+    builder/packs/cluster layout changes, or this cache silently serves
+    stale arrays."""
     import os
 
+    from ti_raytrace_tpu.scene.build import BUILD_FORMAT_VERSION
     from ti_raytrace_tpu.scene.data import device_scene
 
     cfg = ExampleConfig(
@@ -169,7 +173,7 @@ def benchmark_100k(n_target: int = 100_000, cache: bool = True):
     )
     cache_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".cache", f"bench_scene_{n_target}.npz",
+        ".cache", f"bench_scene_{n_target}_v{BUILD_FORMAT_VERSION}.npz",
     )
     if cache and os.path.exists(cache_path):
         with np.load(cache_path) as z:

@@ -224,18 +224,30 @@ def _bounce(scene, carry, key, nee: bool = True, presort: bool = False):
 
 
 def _env_radiance(scene, d):
-    """Equirect environment lookup (PT_RGB.py:127-131), planar dirs."""
-    from ti_raytrace_tpu.texture.texture import texture2d
+    """Equirect environment lookup (PT_RGB.py:127-131), planar dirs.
+
+    The bilinear fetch goes through a 2x2-block texture built in-graph
+    (concats, ~0.1 ms of bandwidth) so the lookup is ONE gather instead
+    of four — gathers on this TPU cost per OP nearly independent of
+    payload width, and the four env gathers were ~8.7 ms/frame on the
+    100k bench (profiled fusion.11-14, scripts/exp_r3d.py)."""
+    from ti_raytrace_tpu.texture.texture import texture2d_packed
 
     if scene.env_img.shape[0] == 1 and scene.env_img.shape[1] == 1:
         # constant env (black when env_power == 0): no gather at all
         texel = srgb_to_lrgb(scene.env_img[0, 0])
         return texel[:, None] * scene.env_power
 
+    t = scene.env_img
+    xp = jnp.concatenate([t[:, 1:], t[:, -1:]], 1)
+    yp = jnp.concatenate([t[1:], t[-1:]], 0)
+    xyp = jnp.concatenate([yp[:, 1:], yp[:, -1:]], 1)
+    blocks = jnp.concatenate([t, xp, yp, xyp], 2)
+
     dis = jnp.sqrt(d[0] * d[0] + d[2] * d[2])
     tx = (jnp.arctan2(d[2], d[0]) + C.PI) / C.TWO_PI
     ty = jnp.arctan2(d[1], dis) / C.PI + 0.5
-    rgb = texture2d(scene.env_img, tx, ty)  # (N, 3)
+    rgb = texture2d_packed(blocks, tx, ty)  # (N, 3)
     return jnp.swapaxes(srgb_to_lrgb(rgb), 0, 1) * scene.env_power
 
 
@@ -255,20 +267,30 @@ def _new_carry(o, d):
     )
 
 
-def _flush(carry, radiance_full, miss_dir_full, miss_w_full):
+def _flush(carry, radiance_full, miss_dir_full, miss_w_full,
+           identity: bool = False):
     """Scatter the carry's accumulated radiance / pending env misses back
-    to full-resolution buffers by pixel id, and clear them in the carry."""
+    to full-resolution buffers by pixel id, and clear them in the carry.
+
+    identity=True (static): the carry has never been compacted, so
+    carry['pixel'] is exactly arange(N) — the scatter-adds degenerate to
+    plain adds.  XLA cannot infer this (the ids are loop-carried), and
+    the three full-width scatters cost ~10 ms/frame on the 100k bench
+    (profiled: fusion.32/36/40, scripts/exp_r3d.py)."""
     pix = carry["pixel"]
-    radiance_full = radiance_full.at[:, pix].add(carry["radiance"])
-    # a lane misses at most once (terminal), so a masked scatter-add is an
-    # exact merge into the full-resolution pending-miss buffers
     has_miss = jnp.any(carry["miss_weight"] != 0.0, axis=0)
-    miss_dir_full = miss_dir_full.at[:, pix].add(
-        jnp.where(has_miss[None], carry["miss_dir"], 0.0)
-    )
-    miss_w_full = miss_w_full.at[:, pix].add(
-        jnp.where(has_miss[None], carry["miss_weight"], 0.0)
-    )
+    miss_d = jnp.where(has_miss[None], carry["miss_dir"], 0.0)
+    miss_w = jnp.where(has_miss[None], carry["miss_weight"], 0.0)
+    if identity:
+        radiance_full = radiance_full + carry["radiance"]
+        miss_dir_full = miss_dir_full + miss_d
+        miss_w_full = miss_w_full + miss_w
+    else:
+        radiance_full = radiance_full.at[:, pix].add(carry["radiance"])
+        # a lane misses at most once (terminal), so a masked scatter-add
+        # is an exact merge into the full-resolution pending-miss buffers
+        miss_dir_full = miss_dir_full.at[:, pix].add(miss_d)
+        miss_w_full = miss_w_full.at[:, pix].add(miss_w)
     carry = dict(carry)
     carry["radiance"] = jnp.zeros_like(carry["radiance"])
     carry["miss_dir"] = jnp.zeros_like(carry["miss_dir"])
@@ -416,7 +438,8 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
         b1 = min(b1, max_depth)
         if phase > 0:
             carry, radiance_full, miss_dir_full, miss_w_full = _flush(
-                carry, radiance_full, miss_dir_full, miss_w_full
+                carry, radiance_full, miss_dir_full, miss_w_full,
+                identity=(phase == 1),  # never compacted yet: pixel==arange
             )
             carry, ov = _compact(carry, width)
             overflow = overflow + ov
@@ -475,26 +498,37 @@ def render_frame_stats(scene, spec: CameraSpec, cam, frame, key,
     return img, overflow
 
 
-@partial(jax.jit, static_argnames=("spec", "n_frames", "compaction", "nee"))
-def render_frames_batched(scene, spec: CameraSpec, cam, frame, key,
-                          n_frames: int = 2, compaction=None,
-                          nee: bool = True):
-    """n progressive frames traced as ONE wavefront in one dispatch.
+@partial(jax.jit, static_argnames=("spec", "n_frames", "compaction", "nee"),
+         donate_argnums=(3,))
+def render_film_frames(scene, spec: CameraSpec, cam, film, n_frames: int = 4,
+                       compaction=None, nee: bool = True):
+    """n progressive frames accumulated into the film in ONE dispatch.
 
-    Concatenating frames amortizes the per-dispatch fixed costs (sort,
-    tile_order, kernel grid setup, tunnel launch) and lets the morton
-    sort pool coherent rays across frames.  Returns the mean (W, H, 3)
-    radiance of the batch — accumulate it with weight n_frames."""
-    N = spec.width * spec.height
-    os_, ds_, keys = [], [], []
-    for i in range(n_frames):
-        ki = jax.random.fold_in(key, i)
-        k_cam, k_path = jax.random.split(ki)
-        os_.append(jnp.swapaxes(ray_origins(spec, cam), 0, 1))
-        ds_.append(jnp.swapaxes(ray_directions(spec, cam, frame + i, k_cam), 0, 1))
-        keys.append(k_path)
-    o = jnp.concatenate(os_, axis=1)
-    d = jnp.concatenate(ds_, axis=1)
-    radiance = trace_paths(scene, o, d, keys[0], compaction=compaction, nee=nee)
-    radiance = radiance.reshape(3, n_frames, N).mean(axis=1)
-    return jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)
+    The frames run SEQUENTIALLY inside a fori_loop — this amortizes the
+    ~30 ms tunnel dispatch floor across n frames (measured: 148.8 ->
+    127 ms/frame at n=4 on the 100k bench, scripts/exp_r3e.py).  A
+    batched-wavefront variant (frames concatenated into one 4x-wide
+    trace) measured 4x SLOWER per frame (scripts/exp_r3b.py: 600 ms for
+    2 frames vs 2x153 separate) — the sort, tile-order permutes, and
+    compaction widths all scale superlinearly past 262k lanes.
+
+    Key/frame discipline matches the single-frame loop exactly
+    (render(fl.frame, fl.key) then film.accumulate), so an n-frame
+    dispatch is bit-identical to n single-frame dispatches.
+
+    Returns (film', overflow_kills_total)."""
+    from ti_raytrace_tpu import film as film_mod
+
+    def body(_, state):
+        fl, ov_total = state
+        k_cam, k_path = jax.random.split(fl.key)
+        o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
+        d = jnp.swapaxes(ray_directions(spec, cam, fl.frame, k_cam), 0, 1)
+        radiance, ov = trace_paths(
+            scene, o, d, k_path, compaction=compaction, nee=nee,
+            return_overflow=True,
+        )
+        img = jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)
+        return film_mod.accumulate(fl, img), ov_total + ov
+
+    return jax.lax.fori_loop(0, n_frames, body, (film, jnp.int32(0)))

@@ -39,13 +39,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ti_raytrace_tpu.core import constants as C
+from ti_raytrace_tpu.scene.packs import PRIM_A
 
 TILE = 256       # rays per kernel program (sweep: 256 beats 512/1024)
 CHUNK = 128      # clusters slab-tested per dense pass
 GROUP = 32       # candidate refresh granularity within a chunk
 SMALL_WAVEFRONT = 32768  # below this, skip sort + per-tile ordering
-ATTR_ROWS = 40   # scene/packs.py PRIM_A
-OUT_W = 48       # t, prim, u, v, attr(40), visited, pad(3)
+PER_TILE_ORDER = True    # False: shared static cluster order for all tiles
+ATTR_ROWS = PRIM_A  # attr rows carried through the kernel
+OUT_W = 48       # t, prim, u, v, attr(ATTR_ROWS), visited, pad
+VISITED_COL = 4 + ATTR_ROWS  # diagnostics column in the OUT_W record
+assert VISITED_COL < OUT_W, "PRIM_A grew past the kernel's OUT_W record"
 
 
 def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, out_ref,
@@ -113,8 +117,9 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, out_ref,
         base = pl.multiple_of(ci * CHUNK, CHUNK)
         sl = pl.ds(base, CHUNK)
 
-        # supercluster skip: this chunk is 8 GROUP-of-16 runs; if no ray
-        # entered any of their super boxes, skip even the slab sweep
+        # supercluster skip: this chunk is CHUNK//GROUP runs of GROUP
+        # clusters; if no ray entered any of their super boxes, skip
+        # even the slab sweep
         # (scalar reads: a reduction over a dynamic VMEM slice does not
         # lower in Mosaic)
         sbase = ci * (CHUNK // GROUP)
@@ -244,7 +249,7 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, out_ref,
     if want_attr:
         out_ref[:, 4:4 + ATTR_ROWS] = battr_ref[:, :]
     # diagnostics: clusters visited by this tile's narrow phase
-    out_ref[:, 44:45] = jnp.broadcast_to(
+    out_ref[:, VISITED_COL:VISITED_COL + 1] = jnp.broadcast_to(
         visited_ref[0].astype(jnp.float32), (out_ref.shape[0], 1)
     )
 
@@ -258,6 +263,10 @@ def _run_kernel(rays, cb_sorted, sb_sorted, order_t, tri, attr,
     n_pad = rays.shape[0]
     grid = n_pad // TILE
     n_supers_pad = int(sb_sorted.shape[2])
+    # shared-order mode: bounds/order arrays have a leading dim of 1 and
+    # every program reads block 0 — no per-tile permuted copies in HBM
+    shared = int(cb_sorted.shape[0]) == 1
+    bmap = (lambda i: (0, 0, 0)) if shared else (lambda i: (i, 0, 0))
     scratch = [
         pltpu.VMEM((TILE, 8), jnp.float32),        # best
         pltpu.VMEM((TILE, ATTR_ROWS), jnp.float32),  # best attr
@@ -274,14 +283,14 @@ def _run_kernel(rays, cb_sorted, sb_sorted, order_t, tri, attr,
         in_specs=[
             pl.BlockSpec((TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, 8, n_clusters), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, 8, n_clusters), bmap, memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 8, n_supers_pad), lambda i: (i, 0, 0),
+                (1, 8, n_supers_pad), bmap,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, n_clusters), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+                (1, 1, n_clusters), bmap, memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -325,8 +334,9 @@ def _tile_order(rays, n_tiles, cb, n_clusters):
     For each tile: order superclusters (GROUP consecutive clusters, which
     are spatially adjacent by median-split construction) by point-to-box
     distance from the tile's mean origin — a conservative front-to-back
-    order for every ray in the tile, at a 16x smaller sort/permutation
-    cost than per-cluster ordering (the in-kernel candidate refresh runs
+    order for every ray in the tile, at a GROUP-times smaller
+    sort/permutation cost than per-cluster ordering (the in-kernel
+    candidate refresh runs
     at GROUP granularity anyway).  Returns (order (n_tiles, 1, C) int32,
     cb_sorted (n_tiles, 8, C), sb_sorted (n_tiles, 8, S_pad) supercluster
     bounds in the same per-tile order, validity in row 6)."""
@@ -358,18 +368,16 @@ def _tile_order(rays, n_tiles, cb, n_clusters):
     return order[:, None, :], cb_sorted, sb_sorted
 
 
-def _static_order(n_tiles, cb, n_clusters):
-    """Trivial ordering for small wavefronts: clusters in their static
-    median-split order, bounds broadcast to every tile.  No argsort, no
-    permutation gathers — the per-ray (tn < best_t) pruning still works,
-    just without the front-to-back guarantee."""
+def _static_order(cb, n_clusters):
+    """Trivial ordering: clusters in their static median-split order,
+    ONE shared copy for every tile (leading dim 1 — _run_kernel maps all
+    programs to block 0).  No argsort, no permutation gathers — the
+    per-ray (tn < best_t) pruning still works, just without the
+    front-to-back guarantee."""
     S = n_clusters // GROUP
     S_pad = ((S + CHUNK - 1) // CHUNK) * CHUNK
-    order = jnp.broadcast_to(
-        jnp.arange(n_clusters, dtype=jnp.int32)[None, None, :],
-        (n_tiles, 1, n_clusters),
-    )
-    cb_sorted = jnp.broadcast_to(cb[None], (n_tiles, 8, n_clusters))
+    order = jnp.arange(n_clusters, dtype=jnp.int32)[None, None, :]
+    cb_sorted = cb[None]
     bmin = cb[0:3, :n_clusters].T.reshape(S, GROUP, 3).min(axis=1)
     bmax = cb[3:6, :n_clusters].T.reshape(S, GROUP, 3).max(axis=1)
     valid = cb[6, :n_clusters].reshape(S, GROUP).max(axis=1)
@@ -377,8 +385,7 @@ def _static_order(n_tiles, cb, n_clusters):
         [bmin.T, bmax.T, valid[None, :], jnp.zeros((1, S), jnp.float32)], 0
     )
     sb = jnp.pad(sb, ((0, 0), (0, S_pad - S)))
-    sb_sorted = jnp.broadcast_to(sb[None], (n_tiles, 8, S_pad))
-    return order, cb_sorted, sb_sorted
+    return order, cb_sorted, sb[None]
 
 
 def trace_clustered(
@@ -420,8 +427,8 @@ def trace_clustered(
     block = int(tri.shape[1]) // n_clusters
 
     n_tiles = n_pad // TILE
-    if N <= SMALL_WAVEFRONT:
-        order_t, cb_sorted, sb_sorted = _static_order(n_tiles, cb, n_clusters)
+    if N <= SMALL_WAVEFRONT or not PER_TILE_ORDER:
+        order_t, cb_sorted, sb_sorted = _static_order(cb, n_clusters)
     else:
         order_t, cb_sorted, sb_sorted = _tile_order(rays, n_tiles, cb, n_clusters)
 

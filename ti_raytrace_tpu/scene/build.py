@@ -9,6 +9,12 @@ vectorized numpy; the per-frame device state is a single frozen pytree.
 import numpy as np
 
 from ti_raytrace_tpu.accel.lbvh import build_bvh
+
+# Version of the host-array format produced by build_host(): BVH layout,
+# cluster packing (accel/clusters.py), attr pack rows (scene/packs.py).
+# Bump on ANY change to those layouts — examples/scenes.benchmark_100k
+# keys its on-disk scene cache by this constant.
+BUILD_FORMAT_VERSION = 3
 from ti_raytrace_tpu.core import constants as C
 from ti_raytrace_tpu.io.image import read_image
 from ti_raytrace_tpu.io.obj import load_obj

@@ -45,3 +45,36 @@ def texture2d(tex, u, v):
     wx = wx[..., None]
     wy = wy[..., None]
     return (c00 * (1 - wx) + c10 * wx) * (1 - wy) + (c01 * (1 - wx) + c11 * wx) * wy
+
+
+def pack_blocks(tex):
+    """Host: (H, W, 3) -> (H, W, 12) 2x2-block texture for texture2d_packed.
+    blocks[y, x] = [tex[y,x], tex[y,x+1], tex[y+1,x], tex[y+1,x+1]]
+    (edge-clamped), so one gather fetches a full bilinear footprint."""
+    import numpy as np
+
+    t = np.asarray(tex)
+    xp = np.concatenate([t[:, 1:], t[:, -1:]], axis=1)   # x+1 clamped
+    yp = np.concatenate([t[1:], t[-1:]], axis=0)         # y+1 clamped
+    xyp = np.concatenate([yp[:, 1:], yp[:, -1:]], axis=1)
+    return np.concatenate([t, xp, yp, xyp], axis=2).astype(np.float32)
+
+
+def texture2d_packed(blocks, u, v):
+    """Bilinear fetch from a pack_blocks texture: ONE gather instead of
+    four.  Gathers on this TPU cost per OP nearly independent of payload
+    width (CLAUDE.md), so the 4->1 fusion saves ~6 ms/frame on the 100k
+    bench's deferred env pass (profiled fusion.11-14, scripts/exp_r3d.py).
+    Footprint and weights identical to texture2d."""
+    h, w = blocks.shape[0], blocks.shape[1]
+    x = jnp.clip(u * w, 0.0, w - 1.0)
+    y = jnp.clip(v * h, 0.0, h - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+    xi = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    c = blocks[yi, xi]  # (..., 12)
+    c00, c10, c01, c11 = c[..., 0:3], c[..., 3:6], c[..., 6:9], c[..., 9:12]
+    return (c00 * (1 - wx) + c10 * wx) * (1 - wy) + (c01 * (1 - wx) + c11 * wx) * wy
