@@ -81,7 +81,7 @@ def _empty_vertex(N):
 
 
 def _walk(scene, origin, direction, beta0, fpdf0, vertex0, max_depth, key,
-          is_light_path, spec_ctx=None):
+          is_light_path, spec_ctx=None, corrected: bool = False):
     """Shared subpath random walk (reference eye_path:105-198 /
     light_path:201-294).  Returns list of per-depth vertex dicts and the
     per-lane vertex count."""
@@ -114,7 +114,14 @@ def _walk(scene, origin, direction, beta0, fpdf0, vertex0, max_depth, key,
         dist = jnp.maximum(pv.length(to), 0.01)
         inv_d2 = 1.0 / (dist * dist)
         to = to * (1.0 / dist)[None]
-        geo_fwd = jnp.abs(pv.dot(to, prev["normal"])) * inv_d2
+        if corrected:
+            # standard solid-angle -> area-measure conversion: the cosine
+            # at the NEW vertex (PBRT convertDensity)
+            geo_fwd = jnp.abs(pv.dot(to, hit.normal)) * inv_d2
+        else:
+            # reference quirk: cosine at the PREVIOUS vertex
+            # (BDPT_RGB.py:143-146 geo_pdf uses this_normal of the source)
+            geo_fwd = jnp.abs(pv.dot(to, prev["normal"])) * inv_d2
 
         if is_light_path:
             # light walk stops on emitter hits without storing a vertex
@@ -188,7 +195,11 @@ def _walk(scene, origin, direction, beta0, fpdf0, vertex0, max_depth, key,
         pdf_rev = jnp.where(
             is_glass, 0.0, _disney_pdf(fnormal, next_dir, -d, hit.mat_p0, hit.mat_p1)
         )
-        geo_rev = jnp.abs(pv.dot(to, vt["normal"])) * inv_d2
+        if corrected:
+            # area measure at the PREVIOUS vertex -> its cosine
+            geo_rev = jnp.abs(pv.dot(to, prev["normal"])) * inv_d2
+        else:
+            geo_rev = jnp.abs(pv.dot(to, vt["normal"])) * inv_d2
         prev["rpdf"] = jnp.where(ok, pdf_rev * geo_rev, prev["rpdf"])
 
         beta_scale = jnp.where(
@@ -211,8 +222,15 @@ def _walk(scene, origin, direction, beta0, fpdf0, vertex0, max_depth, key,
     return verts, count
 
 
-def build_eye_path_rays(scene, o, d, key, spec_ctx=None):
-    """Eye subpath walk from explicit rays (o, d planar)."""
+def build_eye_path_rays(scene, o, d, key, spec_ctx=None,
+                        eye_depth: int = EYE_MAX_DEPTH, fpdf0=None,
+                        corrected: bool = False):
+    """Eye subpath walk from explicit rays (o, d planar).
+
+    fpdf0: per-lane camera direction pdf (solid angle).  The reference's
+    weight machinery treats it as 1; the corrected estimator passes the
+    pinhole pdf fx*fy/cos^3(theta) so eye[1].fpdf carries the real
+    camera density."""
     N = o.shape[1]
     C_ = 1 if spec_ctx is not None else 3
     k_walk = key
@@ -224,20 +242,38 @@ def build_eye_path_rays(scene, o, d, key, spec_ctx=None):
     v0["fpdf"] = jnp.ones((N,), jnp.float32)
     v0["vtype"] = jnp.full((N,), V_LENS, jnp.int32)
 
+    if fpdf0 is None:
+        fpdf0 = jnp.ones((N,), jnp.float32)
     return _walk(
-        scene, o, d, jnp.ones((C_, N), jnp.float32), jnp.ones((N,), jnp.float32),
-        v0, EYE_MAX_DEPTH, k_walk, is_light_path=False, spec_ctx=spec_ctx,
+        scene, o, d, jnp.ones((C_, N), jnp.float32), fpdf0,
+        v0, eye_depth, k_walk, is_light_path=False, spec_ctx=spec_ctx,
+        corrected=corrected,
     )
 
 
-def build_eye_path(scene, spec, cam, frame, key, spec_ctx=None):
+def _camera_dir_pdf(spec, cam, d):
+    """Pinhole direction pdf fx*fy/cos^3(theta) (per unit solid angle,
+    film measured in pixels) for planar directions d."""
+    axis = cam.view[2, :3]
+    cos_t = jnp.maximum(
+        jnp.abs(pv.dot(d, jnp.broadcast_to(axis[:, None], d.shape))), 1e-3
+    )
+    return spec.fx * spec.fy / (cos_t * cos_t * cos_t)
+
+
+def build_eye_path(scene, spec, cam, frame, key, spec_ctx=None,
+                   eye_depth: int = EYE_MAX_DEPTH, corrected: bool = False):
     k_cam, k_walk = jax.random.split(key)
     o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
     d = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
-    return build_eye_path_rays(scene, o, d, k_walk, spec_ctx)
+    fpdf0 = _camera_dir_pdf(spec, cam, d) if corrected else None
+    return build_eye_path_rays(scene, o, d, k_walk, spec_ctx, eye_depth,
+                               fpdf0=fpdf0, corrected=corrected)
 
 
-def build_light_path(scene, N, key, spec_ctx=None):
+def build_light_path(scene, N, key, spec_ctx=None,
+                     light_depth: int = LIGHT_MAX_DEPTH,
+                     corrected: bool = False):
     k_sample, k_walk = jax.random.split(key)
     u6 = jax.random.uniform(k_sample, (6, N), dtype=jnp.float32)
     ls = sample_light(scene, u6)
@@ -259,9 +295,11 @@ def build_light_path(scene, N, key, spec_ctx=None):
 
     beta0 = v0["beta"] * jnp.abs(pv.dot(ls["normal"], ls["direction"]))[None]
     o = ls["pos"]
+    dir_pdf = ls["dir_pdf_std"] if corrected else ls["dir_pdf"]
     return _walk(
-        scene, o, ls["direction"], beta0, ls["dir_pdf"], v0,
-        LIGHT_MAX_DEPTH, k_walk, is_light_path=True, spec_ctx=spec_ctx,
+        scene, o, ls["direction"], beta0, dir_pdf, v0,
+        light_depth, k_walk, is_light_path=True, spec_ctx=spec_ctx,
+        corrected=corrected,
     )
 
 
@@ -341,7 +379,8 @@ def _cos_in(v):
 
 
 def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
-                 spec_ctx=None, strategies=None, corrected: bool = False):
+                 spec_ctx=None, strategies=None, corrected: bool = False,
+                 max_depth: int = MAX_DEPTH, unweighted: bool = False):
     """All (e, l) strategies; returns (radiance (C,N), splat image).
 
     strategies: optional host-side predicate `f(e, l) -> bool` selecting
@@ -368,11 +407,13 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
     splat = jnp.zeros((spec.width, spec.height, 3), jnp.float32)
     n_lights = jnp.float32(scene.n_lights)
 
+    # subpath lengths available in the vertex pools (len(eye) == the walk's
+    # eye_depth), strategy depth capped at max_depth
     pairs = [
         (e, l)
-        for e in range(1, EYE_MAX_DEPTH + 1)
-        for l in range(0, LIGHT_MAX_DEPTH + 1)
-        if not ((l == 1 and e == 1) or l + e - 2 < 0 or l + e - 2 > MAX_DEPTH)
+        for e in range(1, len(eye) + 1)
+        for l in range(0, len(light) + 1)
+        if not ((l == 1 and e == 1) or l + e - 2 < 0 or l + e - 2 > max_depth)
         and (strategies is None or strategies(e, l))
     ]
 
@@ -452,9 +493,21 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                     dist = jnp.maximum(pv.length(to), 1e-6)
                     to = to * (1.0 / dist)[None]
                     ldn = pv.dot(to, ev["normal"])
-                    ov["eye_rpdf_e2"] = jnp.abs(_cos_pdf(jnp.abs(ldn)) * ldn) / (
-                        dist * dist
-                    )
+                    if corrected:
+                        # standard: cos/pi at the light (no floor), area
+                        # conversion with the cosine at the DESTINATION
+                        cos_dst = jnp.where(
+                            em["vtype"] == V_SURFACE,
+                            jnp.abs(pv.dot(to, em["snormal"])), 1.0,
+                        )
+                        ov["eye_rpdf_e2"] = (
+                            jnp.abs(ldn) / C.PI * cos_dst / (dist * dist)
+                        )
+                    else:
+                        # reference: floored pdf x cosine at the SOURCE
+                        ov["eye_rpdf_e2"] = jnp.abs(
+                            _cos_pdf(jnp.abs(ldn)) * ldn
+                        ) / (dist * dist)
                 sel_any = sel
 
             elif e == 1:
@@ -514,7 +567,17 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                     to = to * (1.0 / dist)[None]
                     axis = cam.view[2, :3]  # optical axis (get_optical_axis)
                     ldn = pv.dot(to, jnp.broadcast_to(axis[:, None], (3, N)))
-                    ov["light_rpdf_l1"] = ldn / (dist * dist)
+                    if corrected:
+                        # pinhole direction pdf fx*fy/cos^3 converted to
+                        # area measure at lv with lv's cosine
+                        cos_t = jnp.maximum(jnp.abs(ldn), 1e-3)
+                        ov["light_rpdf_l1"] = (
+                            spec.fx * spec.fy / (cos_t * cos_t * cos_t)
+                            * jnp.abs(pv.dot(to, lv["snormal"]))
+                            / (dist * dist)
+                        )
+                    else:
+                        ov["light_rpdf_l1"] = ldn / (dist * dist)
                 if l >= 2:
                     lm = light[l - 2]
                     wi2 = ev["pos"] - lv["pos"]
@@ -522,21 +585,32 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                     dist2 = jnp.maximum(pv.length(wo2), 1e-6)
                     wi2 = pv.normalize(wi2)
                     wo2 = pv.normalize(wo2)
-                    pdf2 = jnp.where(
-                        _quirk_is_disney(lv),
-                        _disney_pdf(lv["normal"], wi2, wo2, lv["metallic"], lv["roughness"]),
-                        1.0,
-                    )
-                    geo = pdf2 / (dist2 * dist2)
-                    geo = geo * jnp.where(
-                        lm["vtype"] == V_SURFACE,
-                        jnp.abs(pv.dot(lv["normal"], wo2)),
-                        1.0,
-                    )
-                    ov["light_rpdf_l2"] = geo
+                    if corrected:
+                        pdf2 = _disney_pdf(
+                            lv["snormal"], wi2, wo2, lv["metallic"], lv["roughness"]
+                        )
+                        cos_dst = jnp.where(
+                            lm["vtype"] == V_NONE, 1.0,
+                            jnp.abs(pv.dot(lm["normal"], wo2)),
+                        )
+                        ov["light_rpdf_l2"] = pdf2 * cos_dst / (dist2 * dist2)
+                    else:
+                        pdf2 = jnp.where(
+                            _quirk_is_disney(lv),
+                            _disney_pdf(lv["normal"], wi2, wo2, lv["metallic"], lv["roughness"]),
+                            1.0,
+                        )
+                        geo = pdf2 / (dist2 * dist2)
+                        geo = geo * jnp.where(
+                            lm["vtype"] == V_SURFACE,
+                            jnp.abs(pv.dot(lv["normal"], wo2)),
+                            1.0,
+                        )
+                        ov["light_rpdf_l2"] = geo
                 sel_any = sel
                 # splat into the camera image at (px, py)
-                mw = _mis_weight(eye, light, e, l, ov)
+                mw = (jnp.ones((N,), jnp.float32) if unweighted
+                      else _mis_weight(eye, light, e, l, ov))
                 val = contrib * mw[None]
                 if spec_ctx is not None:
                     val = spec_ctx.to_rgb(val)  # (3, N)
@@ -587,7 +661,16 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                 ldn = jnp.abs(pv.dot(to, ls["normal"]))
                 ov["light_rpdf_l1"] = None  # replaced below as sample-based
                 ov["sample_fpdf0"] = ls["choice_pdf"]
-                ov["eye_rpdf_e1"] = _cos_pdf(ldn) * ldn / (dist * dist)
+                if corrected:
+                    # emission pdf cos/pi (no floor) x cosine at the EYE
+                    # vertex (standard destination conversion)
+                    ov["eye_rpdf_e1"] = (
+                        ldn / C.PI
+                        * jnp.abs(pv.dot(to, ev["snormal"]))
+                        / (dist * dist)
+                    )
+                else:
+                    ov["eye_rpdf_e1"] = _cos_pdf(ldn) * ldn / (dist * dist)
                 # light.rpdf[0] (the sample) from the eye vertex (e>1 branch)
                 if e > 1:
                     wi2 = eye[e - 2]["pos"] - ev["pos"]
@@ -595,14 +678,24 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                     dist2 = jnp.maximum(pv.length(wo2), 1e-6)
                     wi2 = pv.normalize(wi2)
                     wo2 = pv.normalize(wo2)
-                    pdf2 = jnp.where(
-                        _quirk_is_disney(ev),
-                        _disney_pdf(ev["snormal"], wi2, wo2, ev["metallic"], ev["roughness"]),
-                        1.0,
-                    )
-                    ov["light_rpdf_l1"] = (
-                        pdf2 * jnp.abs(pv.dot(ev["normal"], wo2)) / (dist2 * dist2)
-                    )
+                    if corrected:
+                        pdf2 = _disney_pdf(
+                            ev["snormal"], wi2, wo2, ev["metallic"], ev["roughness"]
+                        )
+                        # destination is the sampled light point
+                        ov["light_rpdf_l1"] = (
+                            pdf2 * jnp.abs(pv.dot(ls["normal"], wo2))
+                            / (dist2 * dist2)
+                        )
+                    else:
+                        pdf2 = jnp.where(
+                            _quirk_is_disney(ev),
+                            _disney_pdf(ev["snormal"], wi2, wo2, ev["metallic"], ev["roughness"]),
+                            1.0,
+                        )
+                        ov["light_rpdf_l1"] = (
+                            pdf2 * jnp.abs(pv.dot(ev["normal"], wo2)) / (dist2 * dist2)
+                        )
                 else:
                     # e == 1 cannot reach here (skipped), guard anyway
                     ov["light_rpdf_l1"] = jnp.zeros((N,), jnp.float32)
@@ -617,11 +710,18 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                         ev["snormal"], wi3, wo3, ev["metallic"], ev["roughness"]
                     )
                     r = pdf3 / (dist3 * dist3)
-                    r = r * jnp.where(
-                        eye[e - 2]["vtype"] == V_SURFACE,
-                        jnp.abs(pv.dot(ev["normal"], wo3)),
-                        1.0,
-                    )
+                    if corrected:
+                        r = r * jnp.where(
+                            eye[e - 2]["vtype"] == V_SURFACE,
+                            jnp.abs(pv.dot(eye[e - 2]["snormal"], wo3)),
+                            1.0,
+                        )
+                    else:
+                        r = r * jnp.where(
+                            eye[e - 2]["vtype"] == V_SURFACE,
+                            jnp.abs(pv.dot(ev["normal"], wo3)),
+                            1.0,
+                        )
                     ov["eye_rpdf_e2"] = jnp.where(
                         ev["vtype"] == V_SURFACE, r, 1.0
                     )
@@ -672,14 +772,24 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                 dist2 = jnp.maximum(pv.length(wo2), 1e-6)
                 wi2n = pv.normalize(wi2) if l > 1 else pv.normalize(wi2)
                 wo2n = pv.normalize(wo2)
-                pdf2 = jnp.where(
-                    _quirk_is_disney(lv),
-                    _disney_pdf(lv["snormal"], wi2n, wo2n, lv["metallic"], lv["roughness"]),
-                    1.0,
-                )
-                ov["eye_rpdf_e1"] = (
-                    pdf2 * jnp.abs(pv.dot(lv["normal"], wo2n)) / (dist2 * dist2)
-                )
+                if corrected:
+                    pdf2 = _disney_pdf(
+                        lv["snormal"], wi2n, wo2n, lv["metallic"], lv["roughness"]
+                    )
+                    # destination is the eye vertex
+                    ov["eye_rpdf_e1"] = (
+                        pdf2 * jnp.abs(pv.dot(ev["snormal"], wo2n))
+                        / (dist2 * dist2)
+                    )
+                else:
+                    pdf2 = jnp.where(
+                        _quirk_is_disney(lv),
+                        _disney_pdf(lv["snormal"], wi2n, wo2n, lv["metallic"], lv["roughness"]),
+                        1.0,
+                    )
+                    ov["eye_rpdf_e1"] = (
+                        pdf2 * jnp.abs(pv.dot(lv["normal"], wo2n)) / (dist2 * dist2)
+                    )
                 # light.rpdf[l-1]: from ev toward light[l-1]
                 if e > 1:
                     wi3 = eye[e - 2]["pos"] - ev["pos"]
@@ -687,12 +797,21 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                     dist3 = jnp.maximum(pv.length(wo3), 1e-6)
                     wi3 = pv.normalize(wi3)
                     wo3 = pv.normalize(wo3)
-                    pdf3 = jnp.where(
-                        _quirk_is_disney(ev),
-                        _disney_pdf(ev["snormal"], wi3, wo3, ev["metallic"], ev["roughness"]),
-                        1.0,
-                    )
-                    r3 = pdf3 * jnp.abs(pv.dot(ev["normal"], wo3)) / (dist3 * dist3)
+                    if corrected:
+                        pdf3 = _disney_pdf(
+                            ev["snormal"], wi3, wo3, ev["metallic"], ev["roughness"]
+                        )
+                        r3 = (
+                            pdf3 * jnp.abs(pv.dot(lv["snormal"], wo3))
+                            / (dist3 * dist3)
+                        )
+                    else:
+                        pdf3 = jnp.where(
+                            _quirk_is_disney(ev),
+                            _disney_pdf(ev["snormal"], wi3, wo3, ev["metallic"], ev["roughness"]),
+                            1.0,
+                        )
+                        r3 = pdf3 * jnp.abs(pv.dot(ev["normal"], wo3)) / (dist3 * dist3)
                     ov["light_rpdf_l1"] = jnp.where(ev["vtype"] == V_SURFACE, r3, 1.0)
                 # eye.rpdf[e-2]: through ev toward eye[e-2]
                 if e > 1:
@@ -705,11 +824,18 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                         ev["snormal"], wi4, wo4, ev["metallic"], ev["roughness"]
                     )
                     r4 = pdf4 / (dist4 * dist4)
-                    r4 = r4 * jnp.where(
-                        eye[e - 2]["vtype"] == V_SURFACE,
-                        jnp.abs(pv.dot(ev["normal"], wo4)),
-                        1.0,
-                    )
+                    if corrected:
+                        r4 = r4 * jnp.where(
+                            eye[e - 2]["vtype"] == V_SURFACE,
+                            jnp.abs(pv.dot(eye[e - 2]["snormal"], wo4)),
+                            1.0,
+                        )
+                    else:
+                        r4 = r4 * jnp.where(
+                            eye[e - 2]["vtype"] == V_SURFACE,
+                            jnp.abs(pv.dot(ev["normal"], wo4)),
+                            1.0,
+                        )
                     ov["eye_rpdf_e2"] = jnp.where(ev["vtype"] == V_SURFACE, r4, 1.0)
                 # light.rpdf[l-2]: through light[l-1] toward light[l-2]
                 if l > 1:
@@ -719,24 +845,35 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                     dist5 = jnp.maximum(pv.length(wo5), 1e-6)
                     wi5 = pv.normalize(wi5)
                     wo5 = pv.normalize(wo5)
-                    pdf5 = jnp.where(
-                        _quirk_is_disney(lv),
-                        _disney_pdf(lv["normal"], wi5, wo5, lv["metallic"], lv["roughness"]),
-                        1.0,
-                    )
-                    r5 = pdf5 / (dist5 * dist5)
-                    r5 = r5 * jnp.where(
-                        lm["vtype"] == V_SURFACE,
-                        jnp.abs(pv.dot(lv["normal"], wo5)),
-                        1.0,
-                    )
+                    if corrected:
+                        pdf5 = _disney_pdf(
+                            lv["snormal"], wi5, wo5, lv["metallic"], lv["roughness"]
+                        )
+                        r5 = pdf5 / (dist5 * dist5)
+                        r5 = r5 * jnp.where(
+                            lm["vtype"] == V_NONE, 1.0,
+                            jnp.abs(pv.dot(lm["normal"], wo5)),
+                        )
+                    else:
+                        pdf5 = jnp.where(
+                            _quirk_is_disney(lv),
+                            _disney_pdf(lv["normal"], wi5, wo5, lv["metallic"], lv["roughness"]),
+                            1.0,
+                        )
+                        r5 = pdf5 / (dist5 * dist5)
+                        r5 = r5 * jnp.where(
+                            lm["vtype"] == V_SURFACE,
+                            jnp.abs(pv.dot(lv["normal"], wo5)),
+                            1.0,
+                        )
                     ov["light_rpdf_l2"] = jnp.where(ev["vtype"] != V_LIGHT, r5, 1.0)
                 sel_any = sel
 
             # MIS weight applies when all channels are positive
             # (reference :590-591; otherwise weight stays 1)
             pos_all = jnp.all(contrib > 0.0, axis=0)
-            mw = _mis_weight(eye, light, e, l, ov)
+            mw = (jnp.ones((N,), jnp.float32) if unweighted
+                  else _mis_weight(eye, light, e, l, ov))
             mw = jnp.where(pos_all, mw, 1.0)
             radiance = radiance + contrib * mw[None]
 
@@ -744,16 +881,24 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
 
 
 def render_paths(scene, spec: CameraSpec, cam, frame, key, spec_ctx=None,
-                 corrected: bool = False):
-    """Shared frame body: subpaths + connections -> (W, H, 3) radiance."""
+                 corrected: bool = False, max_depth: int = MAX_DEPTH):
+    """Shared frame body: subpaths + connections -> (W, H, 3) radiance.
+
+    max_depth is the strategy-depth cap (reference BDPT_RGB.py:23);
+    subpath walk lengths derive from it (eye max_depth+2, light
+    max_depth+1) exactly as the reference's module constants do."""
     N = spec.width * spec.height
     k_eye, k_light, k_conn = jax.random.split(key, 3)
 
-    eye, eye_count = build_eye_path(scene, spec, cam, frame, k_eye, spec_ctx)
-    light, light_count = build_light_path(scene, N, k_light, spec_ctx)
+    eye, eye_count = build_eye_path(scene, spec, cam, frame, k_eye, spec_ctx,
+                                    eye_depth=max_depth + 2,
+                                    corrected=corrected)
+    light, light_count = build_light_path(scene, N, k_light, spec_ctx,
+                                          light_depth=max_depth + 1,
+                                          corrected=corrected)
     radiance, splat = _connections(
         scene, spec, cam, eye, eye_count, light, light_count, k_conn, spec_ctx,
-        corrected=corrected,
+        corrected=corrected, max_depth=max_depth,
     )
     if spec_ctx is not None:
         radiance = spec_ctx.to_rgb(radiance)
@@ -761,16 +906,17 @@ def render_paths(scene, spec: CameraSpec, cam, frame, key, spec_ctx=None,
     return img + splat
 
 
-@partial(jax.jit, static_argnames=("spec", "corrected"))
+@partial(jax.jit, static_argnames=("spec", "corrected", "max_depth"))
 def render_frame(scene, spec: CameraSpec, cam, frame, key,
-                 corrected: bool = False):
+                 corrected: bool = False, max_depth: int = MAX_DEPTH):
     """One progressive BDPT frame -> (W, H, 3) radiance."""
-    return render_paths(scene, spec, cam, frame, key, corrected=corrected)
+    return render_paths(scene, spec, cam, frame, key, corrected=corrected,
+                        max_depth=max_depth)
 
 
-@partial(jax.jit, static_argnames=("spec", "n_slices"))
+@partial(jax.jit, static_argnames=("spec", "n_slices", "max_depth"))
 def _render_slice(scene, spec: CameraSpec, cam, frame, key, n_slices: int,
-                  slice_i):
+                  slice_i, max_depth: int = MAX_DEPTH):
     # slice_i is traced -> one compilation serves every slice
     N = spec.width * spec.height
     ns = N // n_slices
@@ -780,17 +926,23 @@ def _render_slice(scene, spec: CameraSpec, cam, frame, key, n_slices: int,
     start = slice_i * ns
     o = jax.lax.dynamic_slice_in_dim(o_full, start, ns, axis=1)
     d = jax.lax.dynamic_slice_in_dim(d_full, start, ns, axis=1)
-    eye, eye_count = build_eye_path_rays(scene, o, d, jax.random.fold_in(k_eye, slice_i))
-    light, light_count = build_light_path(scene, ns, jax.random.fold_in(k_light, slice_i))
+    eye, eye_count = build_eye_path_rays(
+        scene, o, d, jax.random.fold_in(k_eye, slice_i),
+        eye_depth=max_depth + 2,
+    )
+    light, light_count = build_light_path(
+        scene, ns, jax.random.fold_in(k_light, slice_i),
+        light_depth=max_depth + 1,
+    )
     radiance, splat = _connections(
         scene, spec, cam, eye, eye_count, light, light_count,
-        jax.random.fold_in(k_conn, slice_i),
+        jax.random.fold_in(k_conn, slice_i), max_depth=max_depth,
     )
     return jnp.swapaxes(radiance, 0, 1), splat
 
 
 def render_frame_sliced(scene, spec: CameraSpec, cam, frame, key,
-                        n_slices: int = 2):
+                        n_slices: int = 2, max_depth: int = MAX_DEPTH):
     """BDPT frame rendered in `n_slices` sequential lane slices: the
     13-vertex wavefront state of a full 512^2 frame exceeds HBM, so each
     slice runs the whole pipeline on 1/n of the pixels (light-tracing
@@ -799,7 +951,8 @@ def render_frame_sliced(scene, spec: CameraSpec, cam, frame, key,
     parts = []
     splat_total = jnp.zeros((spec.width, spec.height, 3), jnp.float32)
     for i in range(n_slices):
-        rad, splat = _render_slice(scene, spec, cam, frame, key, n_slices, jnp.int32(i))
+        rad, splat = _render_slice(scene, spec, cam, frame, key, n_slices,
+                                   jnp.int32(i), max_depth=max_depth)
         parts.append(rad)
         splat_total = splat_total + splat
     img = jnp.concatenate(parts, axis=0).reshape(spec.width, spec.height, 3)

@@ -69,7 +69,9 @@ def _sensor_tables():
     return sensor
 
 
-def make_render_frame():
+def make_spec_ctx_fn():
+    """Host-closes the sensor/D65 tables; returns f(key, N) -> SpecCtx
+    drawing one wavelength per lane (BDPT_SPEC.py:668)."""
     sensor = _sensor_tables()
     lam_min = sensor.lambda_min
     span = sensor.lambda_max - sensor.lambda_min
@@ -82,11 +84,8 @@ def make_render_frame():
     d65 = normalized_d65(sensor)
     d65_tab = jnp.asarray(d65.sample(sensor.lambdas), jnp.float32)  # (NB,)
 
-    @partial(jax.jit, static_argnames=("spec",))
-    def render_frame(scene, spec: CameraSpec, cam, frame, key):
-        N = spec.width * spec.height
-        k_lam, k_path = jax.random.split(key)
-        u = jax.random.uniform(k_lam, (N,), dtype=jnp.float32)
+    def spec_ctx(key, N):
+        u = jax.random.uniform(key, (N,), dtype=jnp.float32)
         # lambda ~ uniform over the sensor range (BDPT_SPEC.py:668)
         lam = lam_min + u * span
         bins = jnp.minimum((u * NB).astype(jnp.int32), NB - 1)
@@ -99,8 +98,19 @@ def make_render_frame():
         rgb = jnp.clip(jnp.einsum("rc,cn->rn", m, xyz, precision=hi),
                        0.0, 1000.0) * span
         d65_val = jnp.dot(d65_tab[None, :], onehot, precision=hi)[0]
+        return SpecCtx(lam=lam, d65_val=d65_val, sensor_rgb=rgb)
 
-        ctx = SpecCtx(lam=lam, d65_val=d65_val, sensor_rgb=rgb)
+    return spec_ctx
+
+
+def make_render_frame():
+    spec_ctx = make_spec_ctx_fn()
+
+    @partial(jax.jit, static_argnames=("spec",))
+    def render_frame(scene, spec: CameraSpec, cam, frame, key):
+        N = spec.width * spec.height
+        k_lam, k_path = jax.random.split(key)
+        ctx = spec_ctx(k_lam, N)
         return bdpt_rgb.render_paths(scene, spec, cam, frame, k_path, ctx)
 
     return render_frame

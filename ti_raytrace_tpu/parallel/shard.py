@@ -80,7 +80,7 @@ def render_frame_sharded(render_paths_fn, scene, spec, cam, frame, key, mesh: Me
 
 
 def render_bdpt_frame_sharded(scene, spec, cam, frame, key, mesh: Mesh,
-                              strategies=None):
+                              strategies=None, max_depth=None):
     """One progressive BDPT frame over the mesh.
 
     Eye pixels are sharded along the wavefront axis; every device walks
@@ -99,6 +99,9 @@ def render_bdpt_frame_sharded(scene, spec, cam, frame, key, mesh: Mesh,
     """
     from ti_raytrace_tpu.camera import ray_directions, ray_origins
     from ti_raytrace_tpu.integrators import bdpt_rgb
+
+    if max_depth is None:
+        max_depth = bdpt_rgb.MAX_DEPTH
 
     k_cam, k_eye, k_light, k_conn = jax.random.split(key, 4)
     o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
@@ -119,14 +122,17 @@ def render_bdpt_frame_sharded(scene, spec, cam, frame, key, mesh: Mesh,
         my = jax.lax.axis_index(AXIS)
         ns = o_.shape[1]
         eye, eye_count = bdpt_rgb.build_eye_path_rays(
-            scene_, o_, d_, jax.random.fold_in(ke, my)
+            scene_, o_, d_, jax.random.fold_in(ke, my),
+            eye_depth=max_depth + 2,
         )
         light, light_count = bdpt_rgb.build_light_path(
-            scene_, ns, jax.random.fold_in(kl, my)
+            scene_, ns, jax.random.fold_in(kl, my),
+            light_depth=max_depth + 1,
         )
         radiance, splat = bdpt_rgb._connections(
             scene_, spec, cam_, eye, eye_count, light, light_count,
             jax.random.fold_in(kc, my), strategies=strategies,
+            max_depth=max_depth,
         )
         # cross-pixel splats: the only cross-device reduction
         splat = jax.lax.psum(splat, AXIS)

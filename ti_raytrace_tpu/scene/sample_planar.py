@@ -78,7 +78,8 @@ def sample_li(scene, shade_pos, u3):
     dist = jnp.maximum(pv.length(d), 1e-12)
     direction = d * (1.0 / dist)[None]
     n_dot_l = jnp.abs(pv.dot(direction, nrm))
-    dir_pdf = jnp.maximum(0.01, n_dot_l / C.PI)
+    dir_pdf_std = n_dot_l / C.PI  # unfloored (corrected BDPT estimator)
+    dir_pdf = jnp.maximum(0.01, dir_pdf_std)
     vis = jnp.ones_like(dist)
 
     stype = col[24]
@@ -91,12 +92,14 @@ def sample_li(scene, shade_pos, u3):
     )
     vis = jnp.where(is_spot, vis * spot_vis, vis)
     dir_pdf = jnp.where(is_spot, 1.0, dir_pdf)
+    dir_pdf_std = jnp.where(is_spot, 1.0, dir_pdf_std)
 
     is_laser = is_shape & (stype == C.SHAPE_LASER)
     proj = pv.dot(direction, nrm) * dist
     r_off = jnp.sqrt(jnp.maximum(dist * dist - proj * proj, 0.0))
     vis = jnp.where(is_laser & (r_off > col[28]), 0.0, vis)
     dir_pdf = jnp.where(is_laser, 1.0, dir_pdf)
+    dir_pdf_std = jnp.where(is_laser, 1.0, dir_pdf_std)
     choice_pdf = jnp.where(is_laser, 1.0 / L, choice_pdf)
 
     return dict(
@@ -108,6 +111,7 @@ def sample_li(scene, shade_pos, u3):
         prim=prim,
         choice_pdf=choice_pdf,
         dir_pdf=dir_pdf,
+        dir_pdf_std=dir_pdf_std,
         # spectral rows (zeros unless the scene was built spectral=True)
         em_c0=col[32],
         em_c1=col[33],
@@ -130,7 +134,11 @@ def sample_light(scene, u6):
     choice_pdf = 1.0 / (L * jnp.maximum(area, 1e-12))
 
     local = pv.cosine_sample_hemisphere(u6[3], u6[4])
-    dir_pdf = jnp.maximum(0.01, local[2] / C.PI)
+    # the reference floors the emission-direction pdf at 0.01
+    # (Scene.py:447 cos_pdf); the unfloored standard value rides along
+    # for the corrected BDPT estimator (bdpt_rgb corrected=True)
+    dir_pdf_std = local[2] / C.PI
+    dir_pdf = jnp.maximum(0.01, dir_pdf_std)
     direction = pv.to_world(local, nrm)
 
     stype = col[24]
@@ -151,6 +159,7 @@ def sample_light(scene, u6):
     emission = pv.where(is_spot, emission * spot_fade[None], emission)
     direction = pv.where(is_spot, spot_dir, direction)
     dir_pdf = jnp.where(is_spot, 1.0, dir_pdf)
+    dir_pdf_std = jnp.where(is_spot, 1.0, dir_pdf_std)
 
     is_laser = is_shape & (stype == C.SHAPE_LASER)
     radius = col[28]
@@ -162,6 +171,7 @@ def sample_light(scene, u6):
     pos = pv.where(is_laser, pos + disk_off, pos)
     direction = pv.where(is_laser, nrm, direction)
     dir_pdf = jnp.where(is_laser, 1.0, dir_pdf)
+    dir_pdf_std = jnp.where(is_laser, 1.0, dir_pdf_std)
     choice_pdf = jnp.where(is_laser, 1.0 / L, choice_pdf)
 
     return dict(
@@ -172,6 +182,7 @@ def sample_light(scene, u6):
         prim=prim,
         choice_pdf=choice_pdf,
         dir_pdf=dir_pdf,
+        dir_pdf_std=dir_pdf_std,
         # spectral rows (zeros unless the scene was built spectral=True)
         em_c0=col[32],
         em_c1=col[33],

@@ -53,12 +53,24 @@ def pt_depth_decomposition(scene, spec, cam, frames, nee=True):
     return means[-1], per_depth
 
 
-def bdpt_strategy_decomposition(scene, spec, cam, frames, corrected=False):
-    """Mean radiance per (e, l) strategy, sharing subpaths per frame."""
+def bdpt_strategy_decomposition(scene, spec, cam, frames, corrected=False,
+                                spectral=False, unweighted=False):
+    """Mean radiance per (e, l) strategy, sharing subpaths per frame.
+
+    spectral=True runs the BDPT_SPEC machinery (single stochastic
+    wavelength per lane, SpecCtx) — the instrument for the prism deficit
+    (VERDICT r2 missing #3): strategy sums convert through the CIE
+    sensor exactly as bdpt_spec.render_frame does."""
     import jax
     import jax.numpy as jnp
 
     from ti_raytrace_tpu.integrators import bdpt_rgb as B
+
+    spec_ctx_fn = None
+    if spectral:
+        from ti_raytrace_tpu.integrators.bdpt_spec import make_spec_ctx_fn
+
+        spec_ctx_fn = make_spec_ctx_fn()
 
     N = spec.width * spec.height
     pairs = [
@@ -71,16 +83,24 @@ def bdpt_strategy_decomposition(scene, spec, cam, frames, corrected=False):
     for f in range(frames):
         key = jax.random.PRNGKey(100 + f)
         k_eye, k_light, k_conn = jax.random.split(key, 3)
+        ctx = None
+        if spectral:
+            k_lam, k_eye = jax.random.split(k_eye)
+            ctx = spec_ctx_fn(k_lam, N)
         eye, eye_count = B.build_eye_path(
-            scene, spec, cam, jnp.int32(f + 1), k_eye
+            scene, spec, cam, jnp.int32(f + 1), k_eye, ctx, corrected=corrected
         )
-        light, light_count = B.build_light_path(scene, N, k_light)
+        light, light_count = B.build_light_path(scene, N, k_light, ctx,
+                                                corrected=corrected)
         for (e, l) in pairs:
             radiance, splat = B._connections(
                 scene, spec, cam, eye, eye_count, light, light_count, k_conn,
+                spec_ctx=ctx,
                 strategies=lambda ee, ll, _e=e, _l=l: (ee, ll) == (_e, _l),
-                corrected=corrected,
+                corrected=corrected, unweighted=unweighted,
             )
+            if spectral:
+                radiance = ctx.to_rgb(radiance)
             # image = radiance (reshaped) + splat, so the image mean is
             # the sum of the two means (both average W*H*3 elements)
             out[(e, l)] += float(jnp.mean(radiance) + jnp.mean(splat))
@@ -135,6 +155,12 @@ def main(argv=None):
     ap.add_argument("--size", type=int, default=48)
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--corrected", action="store_true")
+    ap.add_argument("--spectral", action="store_true",
+                    help="decompose the BDPT_SPEC machinery (no PT truth)")
+    ap.add_argument("--unweighted", action="store_true",
+                    help="MIS weight := 1; each strategy alone is then a "
+                         "complete estimator of its depths (separates "
+                         "contribution bias from weight bias)")
     args = ap.parse_args(argv)
 
     import jax
@@ -152,6 +178,27 @@ def main(argv=None):
         scene, cfg = EXAMPLES[args.scene]()
     spec, cam = make_camera(scene, cfg, args.size, args.size)
 
+    if args.spectral:
+        t0 = time.time()
+        strat = bdpt_strategy_decomposition(
+            scene, spec, cam, args.frames, corrected=args.corrected,
+            spectral=True, unweighted=args.unweighted,
+        )
+        log(f"BDPT_SPEC decomposition in {time.time()-t0:.0f}s")
+        total = sum(strat.values())
+        print(f"\n=== {args.scene} {args.size}px x{args.frames} frames "
+              f"(SPECTRAL) ===")
+        print(f"BDPT_SPEC total mean: {total:.5f}")
+        bd_depth = {}
+        for (e, l), v in strat.items():
+            bd_depth[e + l - 2] = bd_depth.get(e + l - 2, 0.0) + v
+        for k in sorted(bd_depth):
+            print(f"depth {k} ({k+1} edges): {bd_depth[k]:.6f}")
+        print("\n(e, l) strategy means:")
+        for (e, l) in sorted(strat):
+            print(f"  e={e} l={l} (depth {e+l-2}): {strat[(e, l)]:.6f}")
+        return
+
     t0 = time.time()
     pt_total, _ = pt_depth_decomposition(scene, spec, cam, args.frames)
     # per-EDGE truth: with NEE off, PT(max_depth=k) - PT(max_depth=k-1)
@@ -162,7 +209,8 @@ def main(argv=None):
     log(f"PT decomposition in {time.time()-t0:.0f}s")
     t0 = time.time()
     strat = bdpt_strategy_decomposition(scene, spec, cam, args.frames,
-                                        corrected=args.corrected)
+                                        corrected=args.corrected,
+                                        unweighted=args.unweighted)
     log(f"BDPT decomposition in {time.time()-t0:.0f}s")
 
     bd_depth = {}

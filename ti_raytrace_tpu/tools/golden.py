@@ -83,6 +83,11 @@ def mean_abs_diff(img: np.ndarray, ref: np.ndarray) -> float:
 
 
 def main(argv=None):
+    from ti_raytrace_tpu.core.tpu_env import fix_stale_platform, wait_for_device
+
+    fix_stale_platform()
+    wait_for_device()
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--scene", default=None, choices=sorted(TARGETS))
     ap.add_argument("--frames", type=int, default=None)
