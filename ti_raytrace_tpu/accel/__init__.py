@@ -25,13 +25,16 @@ def _interpret() -> bool:
     return jax.local_devices()[0].platform != "tpu"
 
 
-def trace(scene, origin, direction, sort_rays: bool = True):
+def trace(scene, origin, direction, sort_rays: bool = True,
+          sort_small: bool = False):
     """Planar closest-hit: origin/direction (3, N) -> (t, prim).
 
     sort_rays=False skips the cluster tracer's coherence sort/unsort —
     pass it when the wavefront is already morton-sorted (pt_rgb presorts
     the whole carry once per bounce, which is far cheaper than
-    sort+unsort gathers around every trace)."""
+    sort+unsort gathers around every trace).  sort_small=True sorts even
+    sub-SMALL_WAVEFRONT widths (PT's compacted deep phases — incoherent
+    survivors; BDPT's natively-small wavefronts keep the skip)."""
     if scene.n_prims <= DENSE_MAX_PRIMS:
         from ti_raytrace_tpu.ops.dense_trace import trace_planar
 
@@ -39,12 +42,14 @@ def trace(scene, origin, direction, sort_rays: bool = True):
     from ti_raytrace_tpu.ops.cluster_trace import trace_clustered
 
     t, prim, _ = trace_clustered(
-        scene, origin, direction, interpret=_interpret(), sort_rays=sort_rays
+        scene, origin, direction, interpret=_interpret(), sort_rays=sort_rays,
+        sort_small=sort_small,
     )
     return t, prim
 
 
-def trace_shaded(scene, origin, direction, sort_rays: bool = True):
+def trace_shaded(scene, origin, direction, sort_rays: bool = True,
+                 sort_small: bool = False):
     """Planar closest-hit + shading pack -> (t, prim, uv_bary, attr)."""
     if scene.n_prims <= DENSE_MAX_PRIMS:
         from ti_raytrace_tpu.ops.dense_trace import trace_shaded as _dense
@@ -57,7 +62,7 @@ def trace_shaded(scene, origin, direction, sort_rays: bool = True):
     # matmul) — no per-lane HBM gather anywhere in the shading path
     t, prim, uv, attr = trace_clustered(
         scene, origin, direction, interpret=_interpret(), want_attr=True,
-        sort_rays=sort_rays,
+        sort_rays=sort_rays, sort_small=sort_small,
     )
     return t, prim, uv, attr
 

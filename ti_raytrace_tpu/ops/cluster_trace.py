@@ -390,7 +390,7 @@ def _static_order(cb, n_clusters):
 
 def trace_clustered(
     scene, o, d, interpret: bool = False, sort_rays: bool = True,
-    want_attr: bool = False,
+    want_attr: bool = False, sort_small: bool = False,
 ):
     """Closest hit via the cluster kernel + dense analytic-shape tail.
 
@@ -408,8 +408,11 @@ def trace_clustered(
     # wavefronts per frame) skip the coherence sort AND the per-tile
     # ordering: the sort/argsort instances dominate both compile time and
     # runtime at that scale, while the kernel's per-ray pruning still
-    # works under the static median-split cluster order.
-    if N <= SMALL_WAVEFRONT:
+    # works under the static median-split cluster order.  PT's COMPACTED
+    # deep phases are the exception (sort_small=True): those lanes are
+    # maximally incoherent survivors, and sorting + per-tile ordering
+    # them measured 131 -> 119 ms on the 100k frame (scripts/exp_r3h.py).
+    if N <= SMALL_WAVEFRONT and not sort_small:
         sort_rays = False
 
     if sort_rays:
@@ -427,7 +430,7 @@ def trace_clustered(
     block = int(tri.shape[1]) // n_clusters
 
     n_tiles = n_pad // TILE
-    if N <= SMALL_WAVEFRONT or not PER_TILE_ORDER:
+    if not sort_rays or not PER_TILE_ORDER:
         order_t, cb_sorted, sb_sorted = _static_order(cb, n_clusters)
     else:
         order_t, cb_sorted, sb_sorted = _tile_order(rays, n_tiles, cb, n_clusters)
