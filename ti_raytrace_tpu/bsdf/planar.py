@@ -32,9 +32,19 @@ def disney_sample(u3, in_dir, n, metallic, roughness):
     return pv.where(u_sel < diffuse_ratio, d_diff, d_spec)
 
 
-def disney_evaluate_pdf(n, v, l, metallic, roughness):
+def disney_evaluate_pdf(n, v, l, metallic, roughness, true_pdf: bool = False):
     """Returns (brdf, pdf); (0, -1) outside the upper hemisphere
-    (reference Disney.py:66-108)."""
+    (reference Disney.py:66-108).
+
+    true_pdf=False replicates the reference's diffuse-branch pdf of 1/pi
+    (Disney.py:13-15 returns 1/pi with the correct abs(NDotL)/pi
+    COMMENTED OUT) even though disney_sample draws the diffuse branch
+    cosine-weighted.  Dividing by this wrong density biases every
+    BRDF-sampled diffuse bounce low by a cosine factor (measured 2/3 on
+    the diag box, PARITY.md 'Disney diffuse pdf') — but the published
+    goldens embody it, so it stays the default.  true_pdf=True returns
+    the actual sampler density cos(theta)/pi (the corrected
+    estimators' mode)."""
     n_dot_l = pv.dot(n, l)
     n_dot_v = pv.dot(n, v)
     valid = (n_dot_l > 0.0) & (n_dot_v > 0.0)
@@ -58,7 +68,8 @@ def disney_evaluate_pdf(n, v, l, metallic, roughness):
 
     diffuse_ratio = 0.5 * (1.0 - metallic)
     pdf_spec = ds * n_dot_h / (4.0 * jnp.maximum(jnp.abs(l_dot_h), 1e-8))
-    pdf = diffuse_ratio * (1.0 / PI) + (1.0 - diffuse_ratio) * pdf_spec
+    pdf_diff = n_dot_l / PI if true_pdf else 1.0 / PI
+    pdf = diffuse_ratio * pdf_diff + (1.0 - diffuse_ratio) * pdf_spec
     return jnp.where(valid, brdf, 0.0), jnp.where(valid, pdf, -1.0)
 
 

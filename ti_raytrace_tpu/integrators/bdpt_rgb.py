@@ -63,8 +63,8 @@ def _cos_pdf(c):
     return jnp.maximum(0.01, c / C.PI)
 
 
-def _disney_pdf(n, v, l, metallic, roughness):
-    _, p = disney_evaluate_pdf(n, v, l, metallic, roughness)
+def _disney_pdf(n, v, l, metallic, roughness, true_pdf: bool = False):
+    _, p = disney_evaluate_pdf(n, v, l, metallic, roughness, true_pdf=true_pdf)
     return jnp.maximum(p, 0.0)
 
 
@@ -181,7 +181,8 @@ def _walk(scene, origin, direction, beta0, fpdf0, vertex0, max_depth, key,
             glass_ior = bk7_ior(spec_ctx.lam)
         g_dir, g_forb = glass_sample(u[0], d, hit.normal, glass_ior)
         d_dir = disney_sample(u[0:3], d, fnormal, hit.mat_p0, hit.mat_p1)
-        d_brdf, d_pdf = disney_evaluate_pdf(fnormal, -d, d_dir, hit.mat_p0, hit.mat_p1)
+        d_brdf, d_pdf = disney_evaluate_pdf(fnormal, -d, d_dir, hit.mat_p0,
+                                            hit.mat_p1, true_pdf=corrected)
 
         next_dir = pv.where(is_glass, g_dir, d_dir)
         f_or_b = jnp.where(is_glass, g_forb, 1.0)
@@ -193,7 +194,9 @@ def _walk(scene, origin, direction, beta0, fpdf0, vertex0, max_depth, key,
 
         # reverse pdf of the PREVIOUS vertex (reference :179-180, :274-277)
         pdf_rev = jnp.where(
-            is_glass, 0.0, _disney_pdf(fnormal, next_dir, -d, hit.mat_p0, hit.mat_p1)
+            is_glass, 0.0,
+            _disney_pdf(fnormal, next_dir, -d, hit.mat_p0, hit.mat_p1,
+                        true_pdf=corrected),
         )
         if corrected:
             # area measure at the PREVIOUS vertex -> its cosine
@@ -294,6 +297,13 @@ def build_light_path(scene, N, key, spec_ctx=None,
     v0["prim"] = ls["prim"]
 
     beta0 = v0["beta"] * jnp.abs(pv.dot(ls["normal"], ls["direction"]))[None]
+    if corrected:
+        # standard light-subpath start: beta_1 = Le * cos0 /
+        # (pdf_area * pdf_dir) (PBRT 16.3).  The reference never divides
+        # by the emission-direction pdf (BDPT_RGB.py:214-232 carries
+        # emission*cos/area_pdf only) — measured 0.2-0.28x deficit on
+        # every l>=2 strategy (tools/bdpt_decompose.py --unweighted).
+        beta0 = beta0 / jnp.maximum(ls["dir_pdf_std"], 1e-6)[None]
     o = ls["pos"]
     dir_pdf = ls["dir_pdf_std"] if corrected else ls["dir_pdf"]
     return _walk(
@@ -530,7 +540,8 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                 _, sh_prim = occ[(e, l)]
                 sel = sel & (sh_prim == lv["prim"])
                 brdf, pdf = disney_evaluate_pdf(
-                    lv["snormal"], -lv["wo"], -wi, lv["metallic"], lv["roughness"]
+                    lv["snormal"], -lv["wo"], -wi, lv["metallic"], lv["roughness"],
+                    true_pdf=corrected,
                 )
                 tdist = jnp.maximum(pv.length(lv["pos"] - cam_o), 1e-6)
                 g = jnp.abs(ndl) / (tdist * tdist)
@@ -587,7 +598,8 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                     wo2 = pv.normalize(wo2)
                     if corrected:
                         pdf2 = _disney_pdf(
-                            lv["snormal"], wi2, wo2, lv["metallic"], lv["roughness"]
+                            lv["snormal"], wi2, wo2, lv["metallic"], lv["roughness"],
+                            true_pdf=True,
                         )
                         cos_dst = jnp.where(
                             lm["vtype"] == V_NONE, 1.0,
@@ -634,7 +646,8 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                 t_sh, sh_prim = occ[(e, l)]
                 sel = sel & (sh_prim == ls["prim"]) & (t_sh > C.EPS)
                 brdf, pdf = disney_evaluate_pdf(
-                    ev["snormal"], -ev["wo"], -wi, ev["metallic"], ev["roughness"]
+                    ev["snormal"], -ev["wo"], -wi, ev["metallic"], ev["roughness"],
+                    true_pdf=corrected,
                 )
                 sel = sel & (pdf > 0.0)
                 g = jnp.abs(ndl_e * ndl_l) / jnp.maximum(t_sh * t_sh, 1e-12)
@@ -680,7 +693,8 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                     wo2 = pv.normalize(wo2)
                     if corrected:
                         pdf2 = _disney_pdf(
-                            ev["snormal"], wi2, wo2, ev["metallic"], ev["roughness"]
+                            ev["snormal"], wi2, wo2, ev["metallic"], ev["roughness"],
+                            true_pdf=True,
                         )
                         # destination is the sampled light point
                         ov["light_rpdf_l1"] = (
@@ -707,7 +721,8 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                     wi3 = pv.normalize(wi3)
                     wo3 = pv.normalize(wo3)
                     pdf3 = _disney_pdf(
-                        ev["snormal"], wi3, wo3, ev["metallic"], ev["roughness"]
+                        ev["snormal"], wi3, wo3, ev["metallic"], ev["roughness"],
+                        true_pdf=corrected,
                     )
                     r = pdf3 / (dist3 * dist3)
                     if corrected:
@@ -745,10 +760,12 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                 t_sh, sh_prim = occ[(e, l)]
                 sel = sel & (sh_prim == ev["prim"]) & (t_sh > C.EPS)
                 brdf_l, pdf_l = disney_evaluate_pdf(
-                    lv["snormal"], -lv["wo"], dirv, lv["metallic"], lv["roughness"]
+                    lv["snormal"], -lv["wo"], dirv, lv["metallic"], lv["roughness"],
+                    true_pdf=corrected,
                 )
                 brdf_e, pdf_e = disney_evaluate_pdf(
-                    ev["snormal"], -ev["wo"], -dirv, ev["metallic"], ev["roughness"]
+                    ev["snormal"], -ev["wo"], -dirv, ev["metallic"], ev["roughness"],
+                    true_pdf=corrected,
                 )
                 sel = sel & (brdf_l > 0.0) & (brdf_e > 0.0)
                 g = jnp.abs(ndl_e * ndl_l) / (dist * dist)
@@ -774,7 +791,8 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                 wo2n = pv.normalize(wo2)
                 if corrected:
                     pdf2 = _disney_pdf(
-                        lv["snormal"], wi2n, wo2n, lv["metallic"], lv["roughness"]
+                        lv["snormal"], wi2n, wo2n, lv["metallic"], lv["roughness"],
+                        true_pdf=True,
                     )
                     # destination is the eye vertex
                     ov["eye_rpdf_e1"] = (
@@ -799,7 +817,8 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                     wo3 = pv.normalize(wo3)
                     if corrected:
                         pdf3 = _disney_pdf(
-                            ev["snormal"], wi3, wo3, ev["metallic"], ev["roughness"]
+                            ev["snormal"], wi3, wo3, ev["metallic"], ev["roughness"],
+                            true_pdf=True,
                         )
                         r3 = (
                             pdf3 * jnp.abs(pv.dot(lv["snormal"], wo3))
@@ -821,7 +840,8 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                     wi4 = pv.normalize(wi4)
                     wo4 = pv.normalize(wo4)
                     pdf4 = _disney_pdf(
-                        ev["snormal"], wi4, wo4, ev["metallic"], ev["roughness"]
+                        ev["snormal"], wi4, wo4, ev["metallic"], ev["roughness"],
+                        true_pdf=corrected,
                     )
                     r4 = pdf4 / (dist4 * dist4)
                     if corrected:
@@ -847,7 +867,8 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                     wo5 = pv.normalize(wo5)
                     if corrected:
                         pdf5 = _disney_pdf(
-                            lv["snormal"], wi5, wo5, lv["metallic"], lv["roughness"]
+                            lv["snormal"], wi5, wo5, lv["metallic"], lv["roughness"],
+                            true_pdf=True,
                         )
                         r5 = pdf5 / (dist5 * dist5)
                         r5 = r5 * jnp.where(

@@ -97,7 +97,8 @@ def _sort_carry(scene, carry):
     )
 
 
-def _bounce(scene, carry, key, nee: bool = True, presort: bool = False):
+def _bounce(scene, carry, key, nee: bool = True, presort: bool = False,
+            corrected: bool = False):
     if presort:
         carry = _sort_carry(scene, carry)
     o = carry["origin"]
@@ -110,7 +111,8 @@ def _bounce(scene, carry, key, nee: bool = True, presort: bool = False):
     u_bsdf = u[3:6]
     u_rr = u[6]
 
-    t, prim, uv_bary, attr = trace_shaded(scene, o, d, sort_rays=not presort)
+    t, prim, uv_bary, attr = trace_shaded(scene, o, d, sort_rays=not presort,
+                                          sort_small=True)
     hit = decode_hit(o, d, t, prim, uv_bary, attr)
     valid = hit.valid & alive
     fnormal = pv.faceforward(hit.normal, -d, hit.gnormal)
@@ -163,10 +165,11 @@ def _bounce(scene, carry, key, nee: bool = True, presort: bool = False):
         # and a positive self-t reads as full occlusion.
         sh_from = pv.offset_ray(ls["pos"], ls["normal"])
         sh_o = pv.where(is_disney, sh_from, jnp.full_like(ls["pos"], 1e9))
-        _, sh_prim = trace(scene, sh_o, ls["direction"])
+        _, sh_prim = trace(scene, sh_o, ls["direction"], sort_small=True)
         unoccluded = sh_prim == prim
         nee_brdf, nee_pdf = disney_evaluate_pdf(
-            fnormal, -d, -ls["direction"], hit.mat_p0, hit.mat_p1
+            fnormal, -d, -ls["direction"], hit.mat_p0, hit.mat_p1,
+            true_pdf=corrected,
         )
         light_pdf = (
             ls["dist"] * ls["dist"] * ls["choice_pdf"] / jnp.maximum(ndl_light, 1e-12)
@@ -183,7 +186,8 @@ def _bounce(scene, carry, key, nee: bool = True, presort: bool = False):
         )
 
     d_dir = disney_sample(u_bsdf, d, fnormal, hit.mat_p0, hit.mat_p1)
-    d_brdf, d_pdf = disney_evaluate_pdf(fnormal, -d, d_dir, hit.mat_p0, hit.mat_p1)
+    d_brdf, d_pdf = disney_evaluate_pdf(fnormal, -d, d_dir, hit.mat_p0, hit.mat_p1,
+                                        true_pdf=corrected)
     d_brdf = d_brdf * jnp.abs(pv.dot(hit.normal, d_dir))
 
     # ---- merge branches ----------------------------------------------
@@ -375,8 +379,14 @@ def has_nee_materials(scene) -> bool:
 
 
 def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
-                compaction=None, nee: bool = True, return_overflow: bool = False):
+                compaction=None, nee: bool = True, return_overflow: bool = False,
+                corrected: bool = False):
     """Full path-trace of a planar wavefront: (3,N) rays -> (3,N) radiance.
+
+    corrected=True divides BRDF-sampled bounces by the sampler's TRUE
+    density (diffuse cos/pi) instead of the reference's claimed 1/pi
+    (PARITY.md 'Disney diffuse pdf') — the unbiased-estimator mode used
+    as ground truth by the corrected-BDPT convergence test.
 
     compaction: ((start_bounce, shrink_divisor), ...) — after
     `start_bounce` bounces the wavefront is compacted to N/divisor live
@@ -406,7 +416,8 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
 
         def body0(state):
             depth, c = state
-            c = _bounce(scene, c, jax.random.fold_in(key, depth), nee, presort)
+            c = _bounce(scene, c, jax.random.fold_in(key, depth), nee, presort,
+                        corrected)
             return depth + 1, c
 
         _, carry = jax.lax.while_loop(cond0, body0, (jnp.int32(0), carry))
@@ -450,7 +461,8 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
 
         def body(state):
             depth, c = state
-            c = _bounce(scene, c, jax.random.fold_in(key, depth), nee, presort)
+            c = _bounce(scene, c, jax.random.fold_in(key, depth), nee, presort,
+                        corrected)
             return depth + 1, c
 
         _, carry = jax.lax.while_loop(cond, body, (jnp.int32(b0), carry))
@@ -468,14 +480,15 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
     return radiance
 
 
-@partial(jax.jit, static_argnames=("spec", "compaction", "nee"))
+@partial(jax.jit, static_argnames=("spec", "compaction", "nee", "corrected"))
 def render_frame(scene, spec: CameraSpec, cam, frame, key, compaction=None,
-                 nee: bool = True):
+                 nee: bool = True, corrected: bool = False):
     """One progressive frame (1 spp): returns (W, H, 3) radiance."""
     k_cam, k_path = jax.random.split(key)
     o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
     d = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
-    radiance = trace_paths(scene, o, d, k_path, compaction=compaction, nee=nee)
+    radiance = trace_paths(scene, o, d, k_path, compaction=compaction, nee=nee,
+                           corrected=corrected)
     return jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)
 
 

@@ -28,8 +28,13 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def pt_depth_decomposition(scene, spec, cam, frames, nee=True):
-    """Mean radiance added at each path depth (successive truncations)."""
+def pt_depth_decomposition(scene, spec, cam, frames, nee=True, corrected=False):
+    """Mean radiance added at each path depth (successive truncations).
+
+    corrected=True uses the TRUE sampler densities (pt_rgb corrected
+    mode) so the truth is unbiased — required when decomposing the
+    corrected BDPT estimator (the quirk PT's BRDF-sampled diffuse
+    transport is ~2/3 low, PARITY.md 'Disney diffuse pdf')."""
     import jax
     import jax.numpy as jnp
 
@@ -44,7 +49,8 @@ def pt_depth_decomposition(scene, spec, cam, frames, nee=True):
             k_cam, k_path = jax.random.split(key)
             o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
             d = jnp.swapaxes(ray_directions(spec, cam, jnp.int32(f + 1), k_cam), 0, 1)
-            rad = pt_rgb.trace_paths(scene, o, d, k_path, max_depth=k, nee=nee)
+            rad = pt_rgb.trace_paths(scene, o, d, k_path, max_depth=k, nee=nee,
+                                     corrected=corrected)
             total += float(jnp.mean(rad))
         means.append(total / frames)
         if k >= 8 and abs(means[-1] - means[-2]) < 1e-6:
@@ -200,12 +206,13 @@ def main(argv=None):
         return
 
     t0 = time.time()
-    pt_total, _ = pt_depth_decomposition(scene, spec, cam, args.frames)
+    pt_total, _ = pt_depth_decomposition(scene, spec, cam, args.frames,
+                                         corrected=args.corrected)
     # per-EDGE truth: with NEE off, PT(max_depth=k) - PT(max_depth=k-1)
     # is exactly the k-edge path total (with NEE the truncation windows
     # of the two sampling techniques overlap and the split is mixed)
     _, pt_edge = pt_depth_decomposition(scene, spec, cam, args.frames,
-                                        nee=False)
+                                        nee=False, corrected=args.corrected)
     log(f"PT decomposition in {time.time()-t0:.0f}s")
     t0 = time.time()
     strat = bdpt_strategy_decomposition(scene, spec, cam, args.frames,
