@@ -25,13 +25,16 @@ import numpy as np
 REFERENCE = "/root/reference"
 BOUNDS_PATH = os.path.join(os.path.dirname(__file__), "golden_bounds.json")
 
-# scene -> (reference image, frames for a comparable render)
+# name -> (scene, integrator override, reference image, frames)
 TARGETS = {
-    "cornell_box": ("out.png", 64),
-    "sky_dome": ("image/skydome.png", 32),
-    "spectral_box": ("image/spectral-cornellbox.png", 64),
-    "veach_bdpt": ("image/veach-bdpt512.png", 32),
-    "prism_rainbow": ("image/rainbow-far.png", 16),
+    "cornell_box": ("cornell_box", None, "out.png", 64),
+    "sky_dome": ("sky_dome", None, "image/skydome.png", 32),
+    "spectral_box": ("spectral_box", None, "image/spectral-cornellbox.png", 64),
+    "veach_bdpt": ("veach_bdpt", None, "image/veach-bdpt512.png", 32),
+    # the reference's own PT-vs-BDPT cross-check pair (README.md:31-33):
+    # the veach scene rendered unidirectionally against veach-pt512.png
+    "veach_pt": ("veach_bdpt", "pt_rgb", "image/veach-pt512.png", 64),
+    "prism_rainbow": ("prism_rainbow", None, "image/rainbow-far.png", 16),
 }
 
 
@@ -39,7 +42,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def render_scene(name: str, frames: int, size: int = 512) -> np.ndarray:
+def render_scene(name: str, frames: int, size: int = 512,
+                 integrator: str = None) -> np.ndarray:
     import jax
 
     from ti_raytrace_tpu import film as film_mod
@@ -49,7 +53,8 @@ def render_scene(name: str, frames: int, size: int = 512) -> np.ndarray:
     scene, cfg = EXAMPLES[name]()
     spec, cam = make_camera(scene, cfg, size, size)
     compaction = cfg.compaction if cfg.compaction != "auto" else None
-    render = get_integrator(cfg.integrator, cfg.sky, compaction, scene)
+    render = get_integrator(integrator or cfg.integrator, cfg.sky, compaction,
+                            scene)
     fl = film_mod.new_film(size, size)
     t0 = time.time()
     for _ in range(frames):
@@ -102,12 +107,13 @@ def main(argv=None):
     names = [args.scene] if args.scene else sorted(TARGETS)
     results, failures = {}, []
     for name in names:
-        rel, frames = TARGETS[name]
+        scene_name, integrator, rel, frames = TARGETS[name]
         ref_path = os.path.join(REFERENCE, rel)
         if not os.path.exists(ref_path):
             log(f"{name}: reference image {rel} missing, skipped")
             continue
-        img = render_scene(name, args.frames or frames, args.size)
+        img = render_scene(scene_name, args.frames or frames, args.size,
+                           integrator=integrator)
         ref = load_reference(rel)
         diff = mean_abs_diff(img, ref)
         log(f"{name}: mean {img.mean():.4f} vs reference {ref[..., :3].mean():.4f} "
