@@ -106,7 +106,12 @@ def spectral_box():
             "spectral_box",
             "pt_spec",
             scale_mult=0.8,
-            sky=dict(turbidity=3.0, albedo=0.5, elevation=0.17),
+            # emitter_scale sqrt(3): the golden embodies a lamp scale of
+            # ||Ke||_1 = 30 rather than the reference code's ceiling of
+            # ||Ke||_2 = 17.32 (measured by tools/spectral_direct_oracle;
+            # PARITY.md 'spectral emitter scale')
+            sky=dict(turbidity=3.0, albedo=0.5, elevation=0.17,
+                     emitter_scale=float(np.sqrt(3.0))),
         ),
     )
 

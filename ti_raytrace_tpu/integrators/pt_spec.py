@@ -56,6 +56,23 @@ MAX_DEPTH = 10
 # emission tint == 1, i.e. emission spectrum = D65 * ||emission_rgb||_2.
 QUIRK_SATURATED_EMISSION = True
 _NEE_SCALE = 1.0  # diagnostic knob (tools): scales the NEE term only
+# NEE emission-tint semantics (diagnostic): "light" scales NEE by the
+# sampled light's emission (physically meaningful); "hit" replicates the
+# reference's formula verbatim (PT_Spec.py:217 uses light_tint =
+# emission_to_rad(HIT surface mat_color) computed at :218-219 — the
+# light_emission returned by sample_li is never used), with the
+# saturated-tint quirk applied to the hit material's rows: tint(lam) =
+# [correct tint eval > 0.5], scale = ||hit mat_color||_2.
+NEE_TINT_MODE = "light"
+# diagnostic: False drops the power-heuristic MIS discount from the NEE
+# term (counts light samples at full 1/light_pdf weight, the same
+# overcount style the reference's BDPT was proven to embody,
+# PARITY.md 'BDPT estimator')
+_NEE_MIS = True
+# diagnostic: extra multiplier on every emitter term (emitter hits +
+# NEE), stacked on top of the per-scene SpectralData.emitter_scale —
+# scripts/exp_spec_scale*.py sweep it against the golden.
+_EMITTER_SCALE = 1.0
 
 
 class SpectralData(NamedTuple):
@@ -67,11 +84,24 @@ class SpectralData(NamedTuple):
     sky_radiances: jnp.ndarray  # (11,)
     sun_dir: jnp.ndarray        # (3,)
     cie_span: float             # sensor lambda_max - lambda_min
+    emitter_scale: float        # golden-parity lamp scale (see below)
 
 
-def make_spectral_data(turbidity=3.0, albedo=0.5, elevation=0.17) -> SpectralData:
+def make_spectral_data(turbidity=3.0, albedo=0.5, elevation=0.17,
+                       emitter_scale=1.0) -> SpectralData:
     """Host precompute.  Sky defaults match the reference's PT_Spec
-    constructor (PT_Spec.py:49: Sky(3.0, 0.5, 0.17))."""
+    constructor (PT_Spec.py:49: Sky(3.0, 0.5, 0.17)).
+
+    emitter_scale: per-scene golden-parity factor on every emitter term.
+    The spectral-box golden embodies ~sqrt(3)x the lamp energy the
+    reference code can produce: its emission path caps at
+    ||Ke||_2 * tint(<=1, sigmoid) * D65n (PT_Spec.emission_to_rad:110-116
+    -> Rgb2Spec.eval sigmoid in [0,1]), yet a first-principles direct-
+    lighting oracle (tools/spectral_direct_oracle.py) measures the golden
+    at 1.7-1.8x that ceiling — consistent with a lamp scale of
+    ||Ke||_1 = 30 rather than ||Ke||_2 = 17.32 for the (10,10,10) lamp
+    (ratio sqrt(3) = 1.732).  examples/scenes.spectral_box passes
+    sqrt(3); see PARITY.md 'spectral emitter scale'."""
     from ti_raytrace_tpu.io.assets import asset_path
     from ti_raytrace_tpu.sky.hosek import build_sky
     from ti_raytrace_tpu.spectral.cie import load_cie_sensor, normalized_d65
@@ -100,6 +130,7 @@ def make_spectral_data(turbidity=3.0, albedo=0.5, elevation=0.17) -> SpectralDat
         sky_radiances=jnp.asarray(sky.radiances, jnp.float32),
         sun_dir=jnp.asarray(sky.sun_dir, jnp.float32),
         cie_span=float(sensor.lambda_max - sensor.lambda_min),
+        emitter_scale=float(emitter_scale),
     )
 
 
@@ -158,7 +189,8 @@ def _bounce(scene, sdata, carry, key):
     # ---- emitter hit: full contribution, front side only --------------
     fcos = pv.dot(d, hit.normal)
     is_light = valid & (hit.mat_type == C.MAT_LIGHT) & (fcos < 0.0)
-    radiance = radiance + jnp.where(
+    em_scale = sdata.emitter_scale * _EMITTER_SCALE
+    radiance = radiance + em_scale * jnp.where(
         is_light[None], throughput * light_rad * em_tint, 0.0
     )
 
@@ -186,7 +218,11 @@ def _bounce(scene, sdata, carry, key):
         fnormal, -d, -ls["direction"], hit.mat_p0, hit.mat_p1
     )
     # light emission spectrum from the light pack's spectral rows
-    if QUIRK_SATURATED_EMISSION:
+    if NEE_TINT_MODE == "hit":
+        hit_tint = (_eval_rgb2spec(attr[35], attr[36], attr[37], lam4)
+                    > 0.5).astype(jnp.float32)
+        nee_em_tint = hit_tint * attr[38][None] * ls["vis"][None]
+    elif QUIRK_SATURATED_EMISSION:
         nee_em_tint = (ls["em_scale"] * ls["vis"])[None] * jnp.ones_like(lam4)
     else:
         nee_em_tint = (
@@ -196,13 +232,14 @@ def _bounce(scene, sdata, carry, key):
         )
     light_pdf = ls["dist"] * ls["dist"] * ls["choice_pdf"] / jnp.maximum(ndl_light, 1e-12)
     nee_ok = nee_geo_ok & unoccluded & (nee_pdf > 0.0)
+    mis_w = power_heuristic(light_pdf, nee_pdf) if _NEE_MIS else 1.0
     nee_w = (
-        power_heuristic(light_pdf, nee_pdf)
+        mis_w
         / jnp.maximum(light_pdf, 1e-4)
         * nee_brdf
         * jnp.abs(ndl_surf)
     )
-    radiance = radiance + _NEE_SCALE * jnp.where(
+    radiance = radiance + (_NEE_SCALE * em_scale) * jnp.where(
         nee_ok[None],
         nee_w[None] * light_rad * nee_em_tint * throughput * reflect_spec,
         0.0,
@@ -303,9 +340,10 @@ def trace_paths_spec(scene, sdata: SpectralData, o, d, key, max_depth: int = MAX
     return jnp.einsum("rc,cn->rn", m, xyz)
 
 
-def make_render_frame(turbidity=3.0, albedo=0.5, elevation=0.17):
+def make_render_frame(turbidity=3.0, albedo=0.5, elevation=0.17,
+                      emitter_scale=1.0):
     """Build a jitted render_frame closing over the spectral tables."""
-    sdata = make_spectral_data(turbidity, albedo, elevation)
+    sdata = make_spectral_data(turbidity, albedo, elevation, emitter_scale)
 
     @partial(jax.jit, static_argnames=("spec",))
     def render_frame(scene, spec: CameraSpec, cam, frame, key):

@@ -29,7 +29,10 @@ BOUNDS_PATH = os.path.join(os.path.dirname(__file__), "golden_bounds.json")
 TARGETS = {
     "cornell_box": ("cornell_box", None, "out.png", 64),
     "sky_dome": ("sky_dome", None, "image/skydome.png", 32),
-    "spectral_box": ("spectral_box", None, "image/spectral-cornellbox.png", 64),
+    # 256 frames: the concave ACES display transform turns 64-spp noise
+    # into a ~0.015 diff inflation vs the 512-spp golden (measured:
+    # 0.0806 at 64f -> 0.0644 at 256f, scripts/exp_spec_scale2.py)
+    "spectral_box": ("spectral_box", None, "image/spectral-cornellbox.png", 256),
     "veach_bdpt": ("veach_bdpt", None, "image/veach-bdpt512.png", 32),
     # the reference's own PT-vs-BDPT cross-check pair (README.md:31-33):
     # the veach scene rendered unidirectionally against veach-pt512.png
