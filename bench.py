@@ -68,10 +68,11 @@ def main():
 
     import jax.numpy as jnp
 
-    # 4 sequential frames per dispatch: amortizes the ~30 ms tunnel
-    # dispatch floor (measured 148.8 -> 127 ms/frame, scripts/exp_r3e.py);
-    # bit-identical to 4 single-frame dispatches (render_film_frames).
-    KF = 4
+    # 8 sequential frames per dispatch: amortizes the ~30 ms tunnel
+    # dispatch floor (in-process sweep: 94.6 ms/frame at KF=4 ->
+    # 90.7 at KF=8, scripts/exp_r3k.py); bit-identical to 8
+    # single-frame dispatches (render_film_frames).
+    KF = 8
 
     def step(fl):
         fl, ov = pt_rgb.render_film_frames(
@@ -85,7 +86,7 @@ def main():
     fl.hdr.block_until_ready()
     log(f"compile + first {KF} frames: {time.time() - t0:.1f}s")
 
-    n_disp = 4
+    n_disp = 6
     times = []
     t0 = time.time()
     for _ in range(n_disp):
@@ -96,11 +97,15 @@ def main():
         times.append(time.perf_counter() - tf)
     dt = time.time() - t0
     n = n_disp * KF
-    fps = n / dt
+    # sustained fps from the MEDIAN dispatch: the axon tunnel occasionally
+    # stalls a single dispatch for seconds (measured: 10.5 s out of an
+    # 11.8 s total), which is transport noise, not render throughput
+    med = sorted(times)[n_disp // 2]
+    fps = KF / med
     overflow_total = int(np.asarray(ov_total))
     log(f"{n} frames in {dt:.2f}s ({n_disp} dispatches, best "
         f"{min(times)/KF*1e3:.1f} ms/frame, median "
-        f"{sorted(times)[n_disp // 2]/KF*1e3:.1f} ms/frame); "
+        f"{med/KF*1e3:.1f} ms/frame); "
         f"compaction overflow kills: {overflow_total}"
         + (" (estimator exact)" if overflow_total == 0 else " (DEPTH BIAS!)"))
     try:

@@ -44,6 +44,14 @@ from ti_raytrace_tpu.scene.packs import PRIM_A
 TILE = 256       # rays per kernel program (sweep: 256 beats 512/1024)
 CHUNK = 128      # clusters slab-tested per dense pass
 GROUP = 32       # candidate refresh granularity within a chunk
+TSKIP = False    # skip whole chunks behind the tile's worst best-t
+                 # (front-to-back order makes min-entry monotone-ish);
+                 # conservative and exact (A/B means bit-identical), but
+                 # a measured LOSS on the 100k bench: 94.9 -> 97.7 ms
+                 # best-frame (scripts/exp_r3j.py, in-process A/B) — the
+                 # per-chunk (TILE,1) tmax reductions cost more than the
+                 # few skipped sweeps at ~7 chunks/scene.  Re-evaluate on
+                 # scenes with many more chunks.
 SMALL_WAVEFRONT = 32768  # below this, skip sort + per-tile ordering
 PER_TILE_ORDER = True    # False: shared static cluster order for all tiles
 ATTR_ROWS = PRIM_A  # attr rows carried through the kernel
@@ -53,8 +61,8 @@ assert VISITED_COL < OUT_W, "PRIM_A grew past the kernel's OUT_W record"
 
 
 def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, out_ref,
-            best_ref, battr_ref, counts_ref, scounts_ref, visited_ref,
-            *, n_clusters, n_supers_pad, block, want_attr):
+            best_ref, battr_ref, counts_ref, scounts_ref, stmin_ref,
+            visited_ref, *, n_clusters, n_supers_pad, block, want_attr):
     ox = rays_ref[:, 0:1]
     oy = rays_ref[:, 1:2]
     oz = rays_ref[:, 2:3]
@@ -71,6 +79,7 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, out_ref,
     best_ref[:, 1:2] = jnp.full_like(ox, -1.0)       # prim id
     best_ref[:, 2:3] = jnp.zeros_like(ox)            # u
     best_ref[:, 3:4] = jnp.zeros_like(ox)            # v
+    best_ref[:, 4:5] = jnp.zeros_like(ox)            # enters any super box
     if want_attr:
         battr_ref[:, :] = jnp.zeros_like(battr_ref)
     visited_ref[0] = jnp.int32(0)
@@ -99,19 +108,34 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, out_ref,
         hit = (jnp.maximum(tn, 0.0) <= tf) & (ref[0, 6:7, s] > 0.0)
         return tn, hit
 
-    # ---- supercluster pre-pass: which GROUP-of-16 runs have any ray? --
+    # ---- supercluster pre-pass: which GROUP-cluster runs have any ray?
     # Tiles over empty space (terminated/parked lanes, sky) skip the
-    # whole per-cluster slab sweep, not just the narrow phase.
-    def super_body(si, _):
-        sbase = pl.multiple_of(si * CHUNK, CHUNK)
-        _, s_hit = slab(sb_ref, pl.ds(sbase, CHUNK))
+    # whole per-cluster slab sweep, not just the narrow phase.  With
+    # TSKIP the pass also records each chunk's minimum super-box entry
+    # distance (SMEM scalars) for best-t chunk skipping below.
+    spc = CHUNK // GROUP  # supers per cluster-chunk
+    for si in range(n_supers_pad // CHUNK):
+        sbase = si * CHUNK
+        s_tn, s_hit = slab(sb_ref, pl.ds(sbase, CHUNK))
         scounts_ref[pl.ds(sbase, CHUNK), :] = jax.lax.dot_general(
             s_hit.astype(jnp.float32), ones_col, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return 0
-
-    jax.lax.fori_loop(0, n_supers_pad // CHUNK, super_body, 0)
+        if TSKIP:
+            masked = jnp.where(s_hit, jnp.maximum(s_tn, 0.0), C.INF)
+            # rays entering no super box anywhere can never be improved
+            # (cluster boxes are subsets of their super box): exclude
+            # them from the chunk-skip tmax below, else one sky lane's
+            # best=INF pins tmax=INF and disables the skip for its tile
+            best_ref[:, 4:5] = jnp.maximum(
+                best_ref[:, 4:5],
+                jnp.max(s_hit.astype(jnp.float32), axis=1, keepdims=True),
+            )
+            for k in range(CHUNK // spc):  # cluster-chunks this si covers
+                c = si * (CHUNK // spc) + k
+                if c >= n_clusters // CHUNK:
+                    break
+                stmin_ref[c] = jnp.min(masked[:, k * spc:(k + 1) * spc])
 
     def chunk_body(ci, _):
         base = pl.multiple_of(ci * CHUNK, CHUNK)
@@ -127,7 +151,20 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, out_ref,
         for k in range(1, CHUNK // GROUP):
             super_any = super_any + scounts_ref[sbase + k, 0]
 
-        @pl.when(super_any > 0.0)
+        run = super_any > 0.0
+        if TSKIP:
+            # best-t chunk skip: chunks are visited in (supercluster)
+            # front-to-back order, so once every ray's best hit is closer
+            # than the chunk's nearest box entry, the chunk (slab sweep
+            # included) cannot improve any lane.  Conservative and exact:
+            # stmin <= entry(r, c) for every ray r / cluster c in the
+            # chunk, and tmax >= best(r) for every ray.
+            tmax = jnp.max(
+                jnp.where(best_ref[:, 4:5] > 0.0, best_ref[:, 0:1], 0.0)
+            )
+            run = run & (stmin_ref[ci] < tmax)
+
+        @pl.when(run)
         def _():
             _sweep_chunk(base, sl)
 
@@ -260,6 +297,11 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, out_ref,
 def _run_kernel(rays, cb_sorted, sb_sorted, order_t, tri, attr,
                 n_clusters: int, block: int, want_attr: bool,
                 interpret: bool):
+    # the narrow phase slices tri_ref at cid*block with a multiple_of(128)
+    # hint; a block below 128 would misalign the slice and read the wrong
+    # triangles (measured: BLOCK=64 silently changes the render —
+    # scripts/exp_r3k.py)
+    assert block % 128 == 0, f"cluster block must be 128-aligned, got {block}"
     n_pad = rays.shape[0]
     grid = n_pad // TILE
     n_supers_pad = int(sb_sorted.shape[2])
@@ -272,6 +314,8 @@ def _run_kernel(rays, cb_sorted, sb_sorted, order_t, tri, attr,
         pltpu.VMEM((TILE, ATTR_ROWS), jnp.float32),  # best attr
         pltpu.VMEM((CHUNK, 1), jnp.float32),       # chunk candidate counts
         pltpu.VMEM((n_supers_pad, 1), jnp.float32),  # supercluster counts
+        pltpu.SMEM((max(n_clusters // CHUNK, 1),),
+                   jnp.float32),                   # per-chunk min entry t
         pltpu.SMEM((1,), jnp.int32),               # visited counter
     ]
     return pl.pallas_call(
