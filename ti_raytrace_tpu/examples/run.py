@@ -49,7 +49,7 @@ def get_integrator(name: str, cfg_sky=None, compaction=None, scene=None):
     if name == "bdpt_spec":
         from ti_raytrace_tpu.integrators import bdpt_spec
 
-        return bdpt_spec.make_render_frame()
+        return bdpt_spec.make_render_frame(**(cfg_sky or {}))
     raise ValueError(f"unknown integrator {name!r}")
 
 

@@ -148,6 +148,13 @@ def prism_rainbow():
             "bdpt_spec",
             fixed_scale=10.0,
             fixed_target=(0.0, 0.0, 0.0),
+            # emitter_scale sqrt(3): rainbow-far.png comes from the same
+            # spectral pipeline whose goldens embody a ||Ke||_1 lamp
+            # normalization (vs the reference code's ||Ke||_2 ceiling —
+            # tools/spectral_direct_oracle.py, PARITY.md 'spectral
+            # emitter scale'); both prism lights are gray (500,500,500),
+            # where ||Ke||_1/||Ke||_2 = sqrt(3)
+            sky=dict(emitter_scale=float(np.sqrt(3.0))),
         ),
     )
 

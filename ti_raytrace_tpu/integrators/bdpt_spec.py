@@ -69,9 +69,17 @@ def _sensor_tables():
     return sensor
 
 
-def make_spec_ctx_fn():
+def make_spec_ctx_fn(emitter_scale: float = 1.0):
     """Host-closes the sensor/D65 tables; returns f(key, N) -> SpecCtx
-    drawing one wavelength per lane (BDPT_SPEC.py:668)."""
+    drawing one wavelength per lane (BDPT_SPEC.py:668).
+
+    emitter_scale: per-scene golden-parity factor on every emission term
+    (folded into the D65 table, which feeds ONLY light_power_attr /
+    light_power_sample).  The committed spectral goldens embody a
+    ||Ke||_1 lamp normalization where the reference code's emission path
+    caps at ||Ke||_2 (proved by tools/spectral_direct_oracle.py, PARITY.md
+    'spectral emitter scale') — sqrt(3) for gray emitters.  The
+    physically-consistent estimator is emitter_scale = 1."""
     sensor = _sensor_tables()
     lam_min = sensor.lambda_min
     span = sensor.lambda_max - sensor.lambda_min
@@ -82,7 +90,8 @@ def make_spec_ctx_fn():
     from ti_raytrace_tpu.spectral.cie import normalized_d65
 
     d65 = normalized_d65(sensor)
-    d65_tab = jnp.asarray(d65.sample(sensor.lambdas), jnp.float32)  # (NB,)
+    d65_tab = jnp.asarray(d65.sample(sensor.lambdas), jnp.float32) \
+        * jnp.float32(emitter_scale)  # (NB,)
 
     def spec_ctx(key, N):
         u = jax.random.uniform(key, (N,), dtype=jnp.float32)
@@ -103,8 +112,8 @@ def make_spec_ctx_fn():
     return spec_ctx
 
 
-def make_render_frame():
-    spec_ctx = make_spec_ctx_fn()
+def make_render_frame(emitter_scale: float = 1.0):
+    spec_ctx = make_spec_ctx_fn(emitter_scale)
 
     @partial(jax.jit, static_argnames=("spec",))
     def render_frame(scene, spec: CameraSpec, cam, frame, key):
