@@ -29,8 +29,13 @@ wait_for_device()
 from ti_raytrace_tpu.ops import cluster_trace as ct
 
 BLOCK = int(os.environ.get("BLOCK", "128"))
+METHOD = os.environ.get("CLUSTERS", "")
 ct.TILE = int(os.environ.get("TILE", ct.TILE))
+ct.TILE_WIDE = int(os.environ.get("TILE_WIDE", ct.TILE_WIDE))
+ct.TILE_WIDE_CUTOFF = int(os.environ.get("CUTOFF", ct.TILE_WIDE_CUTOFF))
 ct.GROUP = int(os.environ.get("GROUP", ct.GROUP))
+ct.TSKIP = bool(int(os.environ.get("TSKIP", "1" if ct.TSKIP else "0")))
+ct.MT_MXU = bool(int(os.environ.get("MT_MXU", "1" if ct.MT_MXU else "0")))
 KF = int(os.environ.get("KF", "4"))
 
 from ti_raytrace_tpu import film as film_mod
@@ -51,10 +56,11 @@ cache_path = os.path.join(
 )
 with np.load(cache_path) as z:
     host = {k: z[k] for k in z.files}
-if BLOCK != 128:
-    host.update(build_clusters(host, block=BLOCK))
+if BLOCK != 128 or METHOD:
+    host.update(build_clusters(host, block=BLOCK, method=METHOD or None))
 scene = device_scene(host)
-log(f"block={BLOCK} clusters={scene.cluster_bounds.shape[1]} "
+log(f"block={BLOCK} method={METHOD or 'median'} "
+    f"clusters={scene.cluster_bounds.shape[1]} "
     f"tile={ct.TILE} group={ct.GROUP}")
 
 size = 512
@@ -78,5 +84,6 @@ for _ in range(6):
     t0 = time.perf_counter()
     fl, _ = step(fl); fl.hdr.block_until_ready()
     best = min(best, time.perf_counter() - t0)
-print(f"BLOCK={BLOCK} TILE={ct.TILE} GROUP={ct.GROUP} KF={KF}: "
-      f"{best/KF*1e3:.1f} ms/frame -> {KF/best:.2f} fps", flush=True)
+print(f"BLOCK={BLOCK} TILE={ct.TILE} WIDE={ct.TILE_WIDE}@{ct.TILE_WIDE_CUTOFF} "
+      f"GROUP={ct.GROUP} TSKIP={ct.TSKIP} MXU={ct.MT_MXU} "
+      f"KF={KF}: {best/KF*1e3:.1f} ms/frame -> {KF/best:.2f} fps", flush=True)

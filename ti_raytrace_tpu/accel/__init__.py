@@ -49,8 +49,12 @@ def trace(scene, origin, direction, sort_rays: bool = True,
 
 
 def trace_shaded(scene, origin, direction, sort_rays: bool = True,
-                 sort_small: bool = False):
-    """Planar closest-hit + shading pack -> (t, prim, uv_bary, attr)."""
+                 sort_small: bool = False, shared_origin=None):
+    """Planar closest-hit + shading pack -> (t, prim, uv_bary, attr).
+
+    shared_origin: (3,) common ray origin (pinhole camera wavefronts) —
+    lets the cluster tracer use ONE shared front-to-back order instead
+    of per-tile ordering."""
     if scene.n_prims <= DENSE_MAX_PRIMS:
         from ti_raytrace_tpu.ops.dense_trace import trace_shaded as _dense
 
@@ -63,6 +67,7 @@ def trace_shaded(scene, origin, direction, sort_rays: bool = True,
     t, prim, uv, attr = trace_clustered(
         scene, origin, direction, interpret=_interpret(), want_attr=True,
         sort_rays=sort_rays, sort_small=sort_small,
+        shared_origin=shared_origin,
     )
     return t, prim, uv, attr
 

@@ -42,27 +42,13 @@ MAX_DEPTH = 15  # reference PT_RGB.py:21
 PRESORT_CARRY = False  # see trace_paths
 
 
-def _sort_carry(scene, carry):
-    """Permute the whole wavefront carry into (alive-first, morton) order.
-
-    Sorting the carry once per bounce is the cluster tracer's coherence
-    restoration: the trace then runs with sort_rays=False, saving the
-    per-trace ray sort + the (N, 48) hit-record unsort gather.  Gathers
-    on TPU pay a large per-op cost regardless of row count (measured),
-    so the whole carry is packed into ONE planar matrix and permuted
-    with ONE gather; int/bool rows ride along bitcast to f32.  Radiance
-    is scattered back to pixels by the carry's pixel ids at flush time."""
-    from ti_raytrace_tpu.ops.cluster_trace import _coherence_key
-
-    N = carry["alive"].shape[0]
-    key_o, key_d = _coherence_key(scene, carry["origin"], carry["direction"])
-    dead_first = jnp.where(carry["alive"], jnp.uint32(0), jnp.uint32(1))
-    idx = jnp.arange(N, dtype=jnp.int32)
-    _, _, _, order = jax.lax.sort(
-        (dead_first, key_o, key_d, idx), num_keys=3, is_stable=True
-    )
-
-    mat = jnp.concatenate(
+def _pack_carry(carry):
+    """Carry dict -> ONE planar (22, N) f32 matrix (int/bool rows ride
+    along bitcast to f32) so a permutation costs ONE gather instead of
+    ten — gathers on TPU pay a large per-op cost regardless of row count
+    (measured: the per-array compaction takes were ~1.9 ms EACH at 65k
+    lanes, scripts/xplane.py trace)."""
+    return jnp.concatenate(
         [
             carry["origin"],                                   # 0:3
             carry["direction"],                                # 3:6
@@ -79,10 +65,9 @@ def _sort_carry(scene, carry):
         ],
         axis=0,
     )
-    # permute along the MAJOR axis: a lane-axis gather of a planar array
-    # is many times slower on TPU than transpose + row gather + transpose
-    m = jnp.take(jnp.swapaxes(mat, 0, 1), order, axis=0)
-    m = jnp.swapaxes(m, 0, 1)
+
+
+def _unpack_carry(m):
     return dict(
         origin=m[0:3],
         direction=m[3:6],
@@ -97,8 +82,33 @@ def _sort_carry(scene, carry):
     )
 
 
+def _sort_carry(scene, carry):
+    """Permute the whole wavefront carry into (alive-first, morton) order.
+
+    Sorting the carry once per bounce is the cluster tracer's coherence
+    restoration: the trace then runs with sort_rays=False, saving the
+    per-trace ray sort + the (N, 48) hit-record unsort gather.  Radiance
+    is scattered back to pixels by the carry's pixel ids at flush time."""
+    from ti_raytrace_tpu.ops.cluster_trace import _coherence_key
+
+    N = carry["alive"].shape[0]
+    key_o, key_d = _coherence_key(scene, carry["origin"], carry["direction"])
+    dead_first = jnp.where(carry["alive"], jnp.uint32(0), jnp.uint32(1))
+    idx = jnp.arange(N, dtype=jnp.int32)
+    _, _, _, order = jax.lax.sort(
+        (dead_first, key_o, key_d, idx), num_keys=3, is_stable=True
+    )
+
+    mat = _pack_carry(carry)
+    # permute along the MAJOR axis: a lane-axis gather of a planar array
+    # is many times slower on TPU than transpose + row gather + transpose
+    m = jnp.take(jnp.swapaxes(mat, 0, 1), order, axis=0)
+    m = jnp.swapaxes(m, 0, 1)
+    return _unpack_carry(m)
+
+
 def _bounce(scene, carry, key, nee: bool = True, presort: bool = False,
-            corrected: bool = False):
+            corrected: bool = False, shared_origin=None):
     if presort:
         carry = _sort_carry(scene, carry)
     o = carry["origin"]
@@ -112,7 +122,8 @@ def _bounce(scene, carry, key, nee: bool = True, presort: bool = False,
     u_rr = u[6]
 
     t, prim, uv_bary, attr = trace_shaded(scene, o, d, sort_rays=not presort,
-                                          sort_small=True)
+                                          sort_small=True,
+                                          shared_origin=shared_origin)
     hit = decode_hit(o, d, t, prim, uv_bary, attr)
     valid = hit.valid & alive
     fnormal = pv.faceforward(hit.normal, -d, hit.gnormal)
@@ -271,35 +282,34 @@ def _new_carry(o, d):
     )
 
 
-def _flush(carry, radiance_full, miss_dir_full, miss_w_full,
-           identity: bool = False):
+def _flush(carry, accum_full, identity: bool = False):
     """Scatter the carry's accumulated radiance / pending env misses back
-    to full-resolution buffers by pixel id, and clear them in the carry.
+    to ONE full-resolution (9, N) buffer [radiance | miss_dir | miss_w]
+    by pixel id, and clear them in the carry.
+
+    One fused scatter-add instead of three: each full-width scatter paid
+    its own multi-ms cost (profiled fusion.32/36/40, scripts/exp_r3d.py),
+    and the three payloads share the same pixel index vector.
 
     identity=True (static): the carry has never been compacted, so
-    carry['pixel'] is exactly arange(N) — the scatter-adds degenerate to
-    plain adds.  XLA cannot infer this (the ids are loop-carried), and
-    the three full-width scatters cost ~10 ms/frame on the 100k bench
-    (profiled: fusion.32/36/40, scripts/exp_r3d.py)."""
+    carry['pixel'] is exactly arange(N) — the scatter degenerates to a
+    plain add.  XLA cannot infer this (the ids are loop-carried)."""
     pix = carry["pixel"]
     has_miss = jnp.any(carry["miss_weight"] != 0.0, axis=0)
     miss_d = jnp.where(has_miss[None], carry["miss_dir"], 0.0)
     miss_w = jnp.where(has_miss[None], carry["miss_weight"], 0.0)
+    # a lane misses at most once (terminal), so a masked scatter-add is
+    # an exact merge into the full-resolution pending-miss rows
+    payload = jnp.concatenate([carry["radiance"], miss_d, miss_w], axis=0)
     if identity:
-        radiance_full = radiance_full + carry["radiance"]
-        miss_dir_full = miss_dir_full + miss_d
-        miss_w_full = miss_w_full + miss_w
+        accum_full = accum_full + payload
     else:
-        radiance_full = radiance_full.at[:, pix].add(carry["radiance"])
-        # a lane misses at most once (terminal), so a masked scatter-add
-        # is an exact merge into the full-resolution pending-miss buffers
-        miss_dir_full = miss_dir_full.at[:, pix].add(miss_d)
-        miss_w_full = miss_w_full.at[:, pix].add(miss_w)
+        accum_full = accum_full.at[:, pix].add(payload)
     carry = dict(carry)
     carry["radiance"] = jnp.zeros_like(carry["radiance"])
     carry["miss_dir"] = jnp.zeros_like(carry["miss_dir"])
     carry["miss_weight"] = jnp.zeros_like(carry["miss_weight"])
-    return carry, radiance_full, miss_dir_full, miss_w_full
+    return carry, accum_full
 
 
 def _compact(carry, new_n: int):
@@ -317,10 +327,10 @@ def _compact(carry, new_n: int):
     _, order = jax.lax.sort((key, idx), num_keys=1, is_stable=True)
     sel = order[:new_n]
 
-    out = {}
-    for k, v in carry.items():
-        out[k] = jnp.take(v, sel, axis=-1)
-    return out, overflow
+    # one packed gather instead of one take per carry array (see
+    # _pack_carry); the per-op gather cost dominated phase transitions
+    m = jnp.take(jnp.swapaxes(_pack_carry(carry), 0, 1), sel, axis=0)
+    return _unpack_carry(jnp.swapaxes(m, 0, 1)), overflow
 
 
 def calibrate_compaction(scene, spec, cam, key=None, probe_size: int = 128,
@@ -380,7 +390,7 @@ def has_nee_materials(scene) -> bool:
 
 def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
                 compaction=None, nee: bool = True, return_overflow: bool = False,
-                corrected: bool = False):
+                corrected: bool = False, camera_origin=None):
     """Full path-trace of a planar wavefront: (3,N) rays -> (3,N) radiance.
 
     corrected=True divides BRDF-sampled bounces by the sampler's TRUE
@@ -406,6 +416,18 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
     # fewer bytes — kept behind this switch for future re-evaluation.
     presort = PRESORT_CARRY and needs_presort(scene)
 
+    # Bounce 0 of a pinhole-camera wavefront is peeled out of the while
+    # loop: its rays share ONE origin, so the cluster tracer can use a
+    # single shared front-to-back order (no per-tile argsort, no
+    # permuted-bounds materialization).  RNG discipline is unchanged
+    # (fold_in(key, 0) for bounce 0, loop continues at depth 1).
+    def _start(ca):
+        if camera_origin is not None and not presort:
+            ca = _bounce(scene, ca, jax.random.fold_in(key, 0), nee, presort,
+                         corrected, shared_origin=camera_origin)
+            return jnp.int32(1), ca
+        return jnp.int32(0), ca
+
     if not compaction:
         # exact single-phase path: one pixel scatter at the very end
         carry = _new_carry(o, d)
@@ -420,7 +442,7 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
                         corrected)
             return depth + 1, c
 
-        _, carry = jax.lax.while_loop(cond0, body0, (jnp.int32(0), carry))
+        _, carry = jax.lax.while_loop(cond0, body0, _start(carry))
         missed = jnp.any(carry["miss_weight"] != 0.0, axis=0)
         env = _env_radiance(scene, carry["miss_dir"])
         radiance = carry["radiance"] + jnp.where(
@@ -433,9 +455,7 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
         return radiance
     N = o.shape[1]
     carry = _new_carry(o, d)
-    radiance_full = jnp.zeros((3, N), jnp.float32)
-    miss_dir_full = jnp.zeros((3, N), jnp.float32)
-    miss_w_full = jnp.zeros((3, N), jnp.float32)
+    accum_full = jnp.zeros((9, N), jnp.float32)  # radiance|miss_dir|miss_w
 
     overflow = jnp.int32(0)
     # static phase schedule: (start, end, width)
@@ -448,8 +468,8 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
             break
         b1 = min(b1, max_depth)
         if phase > 0:
-            carry, radiance_full, miss_dir_full, miss_w_full = _flush(
-                carry, radiance_full, miss_dir_full, miss_w_full,
+            carry, accum_full = _flush(
+                carry, accum_full,
                 identity=(phase == 1),  # never compacted yet: pixel==arange
             )
             carry, ov = _compact(carry, width)
@@ -465,11 +485,13 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
                         corrected)
             return depth + 1, c
 
-        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(b0), carry))
+        init = _start(carry) if phase == 0 else (jnp.int32(b0), carry)
+        _, carry = jax.lax.while_loop(cond, body, init)
 
-    carry, radiance_full, miss_dir_full, miss_w_full = _flush(
-        carry, radiance_full, miss_dir_full, miss_w_full
-    )
+    carry, accum_full = _flush(carry, accum_full)
+    radiance_full = accum_full[0:3]
+    miss_dir_full = accum_full[3:6]
+    miss_w_full = accum_full[6:9]
 
     # one deferred environment pass for every lane that escaped
     missed = jnp.any(miss_w_full != 0.0, axis=0)
@@ -488,7 +510,7 @@ def render_frame(scene, spec: CameraSpec, cam, frame, key, compaction=None,
     o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
     d = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
     radiance = trace_paths(scene, o, d, k_path, compaction=compaction, nee=nee,
-                           corrected=corrected)
+                           corrected=corrected, camera_origin=o[:, 0])
     return jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)
 
 
@@ -505,7 +527,7 @@ def render_frame_stats(scene, spec: CameraSpec, cam, frame, key,
     d = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
     radiance, overflow = trace_paths(
         scene, o, d, k_path, compaction=compaction, nee=nee,
-        return_overflow=True,
+        return_overflow=True, camera_origin=o[:, 0],
     )
     img = jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)
     return img, overflow
@@ -539,7 +561,7 @@ def render_film_frames(scene, spec: CameraSpec, cam, film, n_frames: int = 4,
         d = jnp.swapaxes(ray_directions(spec, cam, fl.frame, k_cam), 0, 1)
         radiance, ov = trace_paths(
             scene, o, d, k_path, compaction=compaction, nee=nee,
-            return_overflow=True,
+            return_overflow=True, camera_origin=o[:, 0],
         )
         img = jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)
         return film_mod.accumulate(fl, img), ov_total + ov

@@ -42,6 +42,17 @@ from ti_raytrace_tpu.core import constants as C
 from ti_raytrace_tpu.scene.packs import PRIM_A
 
 TILE = 256       # rays per kernel program (sweep: 256 beats 512/1024)
+# Small compacted wavefronts are per-PROGRAM-overhead bound (measured:
+# deep-phase kernel cost per tile RISES from 12.6 us at a 1024-program
+# grid to 79 us at a 16-program grid, and shrinking TILE makes frames
+# slower: 256 -> 82.7, 128 -> 92.7, 64 -> 123.6 ms; scripts/exp_r3i.py).
+# Below TILE_WIDE_CUTOFF lanes the tracer therefore uses FEWER, WIDER
+# programs instead.
+TILE_WIDE = 512        # tile for small wavefronts when CUTOFF > 0
+TILE_WIDE_CUTOFF = 0   # DISABLED: measured a loss in both directions
+                       # (512@65536: 92.5 ms, 1024@65536: 120.3, vs 82.7
+                       # at uniform 256 — deep-phase visits/tile do not
+                       # shrink with fewer, wider programs)
 CHUNK = 128      # clusters slab-tested per dense pass
 GROUP = 32       # candidate refresh granularity within a chunk
 TSKIP = False    # skip whole chunks behind the tile's worst best-t
@@ -53,15 +64,26 @@ TSKIP = False    # skip whole chunks behind the tile's worst best-t
                  # few skipped sweeps at ~7 chunks/scene.  Re-evaluate on
                  # scenes with many more chunks.
 SMALL_WAVEFRONT = 32768  # below this, skip sort + per-tile ordering
+MT_MXU = False   # narrow phase as ONE (TILE,16)@(16,4B) MXU matmul per
+                 # visited cluster (accel/clusters._build_mt) instead of
+                 # ~30 VPU ops per (TILE,B) element.  Correct (tpu_smoke
+                 # bit-exact, oracle tests pass) but a measured LOSS:
+                 # 146.4 vs 93.0 ms/frame (scripts/exp_r3i.py MT_MXU=1/0)
+                 # — at K=16 the systolic array runs 87% empty and
+                 # Precision.HIGHEST multiplies the passes by 6, so one
+                 # visit costs ~6.5 us of MXU latency vs ~1.4 us of VPU
+                 # throughput.  Kept behind this flag as the measured
+                 # record; the narrow phase stays on the VPU.
 PER_TILE_ORDER = True    # False: shared static cluster order for all tiles
 ATTR_ROWS = PRIM_A  # attr rows carried through the kernel
 OUT_W = 48       # t, prim, u, v, attr(ATTR_ROWS), visited, pad
 VISITED_COL = 4 + ATTR_ROWS  # diagnostics column in the OUT_W record
-assert VISITED_COL < OUT_W, "PRIM_A grew past the kernel's OUT_W record"
+CHUNKS_COL = VISITED_COL + 1  # diagnostics: cluster-chunks slab-swept
+assert CHUNKS_COL < OUT_W, "PRIM_A grew past the kernel's OUT_W record"
 
 
-def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, out_ref,
-            best_ref, battr_ref, counts_ref, scounts_ref, stmin_ref,
+def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
+            out_ref, best_ref, battr_ref, counts_ref, scounts_ref, stmin_ref,
             visited_ref, *, n_clusters, n_supers_pad, block, want_attr):
     ox = rays_ref[:, 0:1]
     oy = rays_ref[:, 1:2]
@@ -69,6 +91,20 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, out_ref,
     dx = rays_ref[:, 3:4]
     dy = rays_ref[:, 4:5]
     dz = rays_ref[:, 5:6]
+
+    if MT_MXU:
+        # per-ray matmul vector r = [o x d, d, o, 1, 0...] (TILE, 16);
+        # each visited cluster's det/u/v/t then come from one MXU pass
+        # against the precomputed table (accel/clusters._build_mt)
+        zeros = jnp.zeros_like(ox)
+        r16 = jnp.concatenate(
+            [
+                oy * dz - oz * dy, oz * dx - ox * dz, ox * dy - oy * dx,
+                dx, dy, dz, ox, oy, oz, jnp.ones_like(ox),
+                zeros, zeros, zeros, zeros, zeros, zeros,
+            ],
+            axis=1,
+        )
 
     def safe_inv(v):
         return 1.0 / jnp.where(jnp.abs(v) < 1e-12, jnp.where(v >= 0, 1e-12, -1e-12), v)
@@ -83,6 +119,7 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, out_ref,
     if want_attr:
         battr_ref[:, :] = jnp.zeros_like(battr_ref)
     visited_ref[0] = jnp.int32(0)
+    visited_ref[1] = jnp.int32(0)  # chunks slab-swept
 
     n_chunks = n_clusters // CHUNK
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
@@ -166,6 +203,7 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, out_ref,
 
         @pl.when(run)
         def _():
+            visited_ref[1] = visited_ref[1] + 1
             _sweep_chunk(base, sl)
 
         return 0
@@ -207,33 +245,52 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, out_ref,
                     visited_ref[0] = visited_ref[0] + 1
                     cid = order_ref[0, 0, base + jj]
                     tbase = pl.multiple_of(cid * block, 128)
-                    tsl = pl.ds(tbase, block)
-                    v0x = tri_ref[0:1, tsl]
-                    v0y = tri_ref[1:2, tsl]
-                    v0z = tri_ref[2:3, tsl]
-                    e1x = tri_ref[3:4, tsl]
-                    e1y = tri_ref[4:5, tsl]
-                    e1z = tri_ref[5:6, tsl]
-                    e2x = tri_ref[6:7, tsl]
-                    e2y = tri_ref[7:8, tsl]
-                    e2z = tri_ref[8:9, tsl]
-                    pid = tri_ref[9:10, tsl]
+                    if MT_MXU:
+                        mtbase = pl.multiple_of(cid * (4 * block), 512)
+                        m = mt_ref[:, pl.ds(mtbase, 4 * block)]   # (16, 4B)
+                        prod = jax.lax.dot_general(
+                            r16, m, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )                                          # (TILE, 4B)
+                        det = prod[:, 0 * block:1 * block]
+                        u = prod[:, 1 * block:2 * block]
+                        v = prod[:, 2 * block:3 * block]
+                        t = prod[:, 3 * block:4 * block]
+                        pid = m[10:11, 0:block]                    # (1, B)
+                        sgn = jnp.sign(det)
+                        adet = jnp.abs(det)
+                        u = u * sgn
+                        v = v * sgn
+                        t = t * sgn
+                    else:
+                        tsl = pl.ds(tbase, block)
+                        v0x = tri_ref[0:1, tsl]
+                        v0y = tri_ref[1:2, tsl]
+                        v0z = tri_ref[2:3, tsl]
+                        e1x = tri_ref[3:4, tsl]
+                        e1y = tri_ref[4:5, tsl]
+                        e1z = tri_ref[5:6, tsl]
+                        e2x = tri_ref[6:7, tsl]
+                        e2y = tri_ref[7:8, tsl]
+                        e2z = tri_ref[8:9, tsl]
+                        pid = tri_ref[9:10, tsl]
 
-                    px = dy * e2z - dz * e2y
-                    py = dz * e2x - dx * e2z
-                    pz = dx * e2y - dy * e2x
-                    det = e1x * px + e1y * py + e1z * pz
-                    sgn = jnp.sign(det)
-                    adet = jnp.abs(det)
-                    tx = ox - v0x
-                    ty = oy - v0y
-                    tz = oz - v0z
-                    u = (tx * px + ty * py + tz * pz) * sgn
-                    qx = ty * e1z - tz * e1y
-                    qy = tz * e1x - tx * e1z
-                    qz = tx * e1y - ty * e1x
-                    v = (dx * qx + dy * qy + dz * qz) * sgn
-                    t = (e2x * qx + e2y * qy + e2z * qz) * sgn
+                        px = dy * e2z - dz * e2y
+                        py = dz * e2x - dx * e2z
+                        pz = dx * e2y - dy * e2x
+                        det = e1x * px + e1y * py + e1z * pz
+                        sgn = jnp.sign(det)
+                        adet = jnp.abs(det)
+                        tx = ox - v0x
+                        ty = oy - v0y
+                        tz = oz - v0z
+                        u = (tx * px + ty * py + tz * pz) * sgn
+                        qx = ty * e1z - tz * e1y
+                        qy = tz * e1x - tx * e1z
+                        qz = tx * e1y - ty * e1x
+                        v = (dx * qx + dy * qy + dz * qz) * sgn
+                        t = (e2x * qx + e2y * qy + e2z * qz) * sgn
                     ok = (
                         (adet > 1e-12)
                         & (u >= 0.0)
@@ -285,38 +342,43 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, out_ref,
     out_ref[:, 0:4] = best_ref[:, 0:4]
     if want_attr:
         out_ref[:, 4:4 + ATTR_ROWS] = battr_ref[:, :]
-    # diagnostics: clusters visited by this tile's narrow phase
+    # diagnostics: clusters visited by this tile's narrow phase; chunks
+    # whose slab sweep ran
     out_ref[:, VISITED_COL:VISITED_COL + 1] = jnp.broadcast_to(
         visited_ref[0].astype(jnp.float32), (out_ref.shape[0], 1)
+    )
+    out_ref[:, CHUNKS_COL:CHUNKS_COL + 1] = jnp.broadcast_to(
+        visited_ref[1].astype(jnp.float32), (out_ref.shape[0], 1)
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_clusters", "block", "want_attr", "interpret")
+    jax.jit,
+    static_argnames=("n_clusters", "block", "want_attr", "interpret", "tile"),
 )
-def _run_kernel(rays, cb_sorted, sb_sorted, order_t, tri, attr,
+def _run_kernel(rays, cb_sorted, sb_sorted, order_t, tri, attr, mt,
                 n_clusters: int, block: int, want_attr: bool,
-                interpret: bool):
+                interpret: bool, tile: int = TILE):
     # the narrow phase slices tri_ref at cid*block with a multiple_of(128)
     # hint; a block below 128 would misalign the slice and read the wrong
     # triangles (measured: BLOCK=64 silently changes the render —
     # scripts/exp_r3k.py)
     assert block % 128 == 0, f"cluster block must be 128-aligned, got {block}"
     n_pad = rays.shape[0]
-    grid = n_pad // TILE
+    grid = n_pad // tile
     n_supers_pad = int(sb_sorted.shape[2])
     # shared-order mode: bounds/order arrays have a leading dim of 1 and
     # every program reads block 0 — no per-tile permuted copies in HBM
     shared = int(cb_sorted.shape[0]) == 1
     bmap = (lambda i: (0, 0, 0)) if shared else (lambda i: (i, 0, 0))
     scratch = [
-        pltpu.VMEM((TILE, 8), jnp.float32),        # best
-        pltpu.VMEM((TILE, ATTR_ROWS), jnp.float32),  # best attr
+        pltpu.VMEM((tile, 8), jnp.float32),        # best
+        pltpu.VMEM((tile, ATTR_ROWS), jnp.float32),  # best attr
         pltpu.VMEM((CHUNK, 1), jnp.float32),       # chunk candidate counts
         pltpu.VMEM((n_supers_pad, 1), jnp.float32),  # supercluster counts
         pltpu.SMEM((max(n_clusters // CHUNK, 1),),
                    jnp.float32),                   # per-chunk min entry t
-        pltpu.SMEM((1,), jnp.int32),               # visited counter
+        pltpu.SMEM((2,), jnp.int32),               # visited/chunks counters
     ]
     return pl.pallas_call(
         functools.partial(
@@ -325,7 +387,7 @@ def _run_kernel(rays, cb_sorted, sb_sorted, order_t, tri, attr,
         ),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, 8, n_clusters), bmap, memory_space=pltpu.VMEM
             ),
@@ -338,9 +400,10 @@ def _run_kernel(rays, cb_sorted, sb_sorted, order_t, tri, attr,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (TILE, OUT_W), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tile, OUT_W), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, OUT_W), jnp.float32),
         scratch_shapes=scratch,
@@ -348,7 +411,7 @@ def _run_kernel(rays, cb_sorted, sb_sorted, order_t, tri, attr,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(rays, cb_sorted, sb_sorted, order_t, tri, attr)
+    )(rays, cb_sorted, sb_sorted, order_t, tri, attr, mt)
 
 
 def _coherence_key(scene, o, d):
@@ -372,7 +435,7 @@ def _coherence_key(scene, o, d):
     return code_o, code_d
 
 
-def _tile_order(rays, n_tiles, cb, n_clusters):
+def _tile_order(rays, n_tiles, cb, n_clusters, tile: int = TILE):
     """Per-tile front-to-back cluster order + permuted bounds.
 
     For each tile: order superclusters (GROUP consecutive clusters, which
@@ -386,7 +449,7 @@ def _tile_order(rays, n_tiles, cb, n_clusters):
     bounds in the same per-tile order, validity in row 6)."""
     S = n_clusters // GROUP  # superclusters: GROUP consecutive clusters
     S_pad = ((S + CHUNK - 1) // CHUNK) * CHUNK
-    org = rays[:, 0:3].reshape(n_tiles, TILE, 3)
+    org = rays[:, 0:3].reshape(n_tiles, tile, 3)
     cent = jnp.mean(org, axis=1)                                   # (T,3)
     bmin = cb[0:3, :n_clusters].T.reshape(S, GROUP, 3).min(axis=1)  # (S,3)
     bmax = cb[3:6, :n_clusters].T.reshape(S, GROUP, 3).max(axis=1)
@@ -412,6 +475,35 @@ def _tile_order(rays, n_tiles, cb, n_clusters):
     return order[:, None, :], cb_sorted, sb_sorted
 
 
+def _point_order(cb, n_clusters, origin):
+    """Shared front-to-back order from ONE origin point (3,).
+
+    Pinhole camera wavefronts share their origin exactly, so every
+    tile's front-to-back supercluster order is identical — one shared
+    (1, 8, C) bounds copy (kernel bmap block 0 for all programs) instead
+    of the per-tile argsort + permuted-bounds materialization
+    (~29 MB/frame on the 100k bench)."""
+    S = n_clusters // GROUP
+    S_pad = ((S + CHUNK - 1) // CHUNK) * CHUNK
+    bmin = cb[0:3, :n_clusters].T.reshape(S, GROUP, 3).min(axis=1)
+    bmax = cb[3:6, :n_clusters].T.reshape(S, GROUP, 3).max(axis=1)
+    valid = cb[6, :n_clusters].reshape(S, GROUP).max(axis=1)
+    p = jnp.clip(origin[None, :], bmin, bmax)                      # (S,3)
+    dist = jnp.sum((p - origin[None, :]) ** 2, axis=-1)            # (S,)
+    order_s = jnp.argsort(dist).astype(jnp.int32)
+    order = (
+        order_s[:, None] * GROUP + jnp.arange(GROUP, dtype=jnp.int32)[None, :]
+    ).reshape(n_clusters)
+    cb_r = cb.reshape(8, S, GROUP)
+    cb_sorted = jnp.take(cb_r, order_s, axis=1).reshape(8, n_clusters)
+    sb = jnp.concatenate(
+        [bmin.T, bmax.T, valid[None, :], jnp.zeros((1, S), jnp.float32)], 0
+    )
+    sb_sorted = jnp.take(sb, order_s, axis=1)
+    sb_sorted = jnp.pad(sb_sorted, ((0, 0), (0, S_pad - S)))
+    return order[None, None, :], cb_sorted[None], sb_sorted[None]
+
+
 def _static_order(cb, n_clusters):
     """Trivial ordering: clusters in their static median-split order,
     ONE shared copy for every tile (leading dim 1 — _run_kernel maps all
@@ -434,7 +526,7 @@ def _static_order(cb, n_clusters):
 
 def trace_clustered(
     scene, o, d, interpret: bool = False, sort_rays: bool = True,
-    want_attr: bool = False, sort_small: bool = False,
+    want_attr: bool = False, sort_small: bool = False, shared_origin=None,
 ):
     """Closest hit via the cluster kernel + dense analytic-shape tail.
 
@@ -442,7 +534,9 @@ def trace_clustered(
     want_attr, (t, prim, uv_bary, attr (A,N)).
     """
     N = o.shape[1]
-    n_pad = ((N + TILE - 1) // TILE) * TILE
+    # small wavefronts run FEWER, WIDER programs (see TILE_WIDE above)
+    tile = TILE_WIDE if N <= TILE_WIDE_CUTOFF else TILE
+    n_pad = ((N + tile - 1) // tile) * tile
     rays = jnp.zeros((n_pad, 8), jnp.float32)
     rays = rays.at[:N, 0:3].set(jnp.swapaxes(o, 0, 1))
     rays = rays.at[:N, 3:6].set(jnp.swapaxes(d, 0, 1))
@@ -473,15 +567,24 @@ def trace_clustered(
     n_clusters = int(cb.shape[1])
     block = int(tri.shape[1]) // n_clusters
 
-    n_tiles = n_pad // TILE
+    n_tiles = n_pad // tile
     if not sort_rays or not PER_TILE_ORDER:
         order_t, cb_sorted, sb_sorted = _static_order(cb, n_clusters)
+    elif shared_origin is not None:
+        # single-origin wavefront (camera rays): one shared order
+        order_t, cb_sorted, sb_sorted = _point_order(cb, n_clusters,
+                                                     shared_origin)
     else:
-        order_t, cb_sorted, sb_sorted = _tile_order(rays, n_tiles, cb, n_clusters)
+        order_t, cb_sorted, sb_sorted = _tile_order(rays, n_tiles, cb,
+                                                    n_clusters, tile)
 
+    # with the VPU narrow phase the matmul table must NOT ride along as a
+    # kernel input: full-array inputs are VMEM-resident (~29 MB on the
+    # 100k scene) whether read or not
+    mt = scene.cluster_mt if MT_MXU else scene.cluster_mt[:, :4 * block]
     out = _run_kernel(
-        rays, cb_sorted, sb_sorted, order_t, tri, attr, n_clusters, block,
-        want_attr, interpret,
+        rays, cb_sorted, sb_sorted, order_t, tri, attr, mt,
+        n_clusters, block, want_attr, interpret, tile,
     )
     if sort_rays:
         inv = jnp.zeros((n_pad,), jnp.int32).at[order].set(

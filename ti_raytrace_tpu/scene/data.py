@@ -74,6 +74,7 @@ class SceneData(NamedTuple):
     cluster_bounds: jnp.ndarray  # (8, C) f32 cluster AABBs
     cluster_tri: jnp.ndarray     # (12, C*B) f32 planar triangle blocks
     cluster_attr: jnp.ndarray    # (C*B, A) f32 prim_attr in cluster order
+    cluster_mt: jnp.ndarray      # (16, C*4B) f32 matmul-form MT table
 
     # --- global ------------------------------------------------------
     aabb_min: jnp.ndarray      # (3,) f32 scene bounds
@@ -132,6 +133,7 @@ def device_scene(host: dict) -> SceneData:
         cluster_bounds=arr(host["cluster_bounds"], jnp.float32),
         cluster_tri=arr(host["cluster_tri"], jnp.float32),
         cluster_attr=arr(host["cluster_attr"], jnp.float32),
+        cluster_mt=arr(host["cluster_mt"], jnp.float32),
         aabb_min=arr(host["aabb_min"], jnp.float32),
         aabb_max=arr(host["aabb_max"], jnp.float32),
     )
