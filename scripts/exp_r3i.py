@@ -36,6 +36,7 @@ ct.TILE_WIDE_CUTOFF = int(os.environ.get("CUTOFF", ct.TILE_WIDE_CUTOFF))
 ct.GROUP = int(os.environ.get("GROUP", ct.GROUP))
 ct.TSKIP = bool(int(os.environ.get("TSKIP", "1" if ct.TSKIP else "0")))
 ct.MT_MXU = bool(int(os.environ.get("MT_MXU", "1" if ct.MT_MXU else "0")))
+ct.NSUB = int(os.environ.get("NSUB", ct.NSUB))
 KF = int(os.environ.get("KF", "4"))
 
 from ti_raytrace_tpu import film as film_mod
@@ -70,7 +71,12 @@ scale = float(np.linalg.norm(hi - lo)) * 0.8
 spec = CameraSpec(size, size)
 cam = orbit_camera(centre, 0.0, 0.0, scale)
 nee = pt_rgb.has_nee_materials(scene)
-compaction = BENCH_SCHEDULE
+# SCHED="1:4,3:8,5:16,8:64" overrides the bench compaction schedule
+_s = os.environ.get("SCHED", "")
+compaction = (
+    tuple(tuple(int(x) for x in p.split(":")) for p in _s.split(","))
+    if _s else BENCH_SCHEDULE
+)
 
 fl = film_mod.new_film(size, size)
 step = lambda f: pt_rgb.render_film_frames(  # noqa: E731
@@ -85,5 +91,5 @@ for _ in range(6):
     fl, _ = step(fl); fl.hdr.block_until_ready()
     best = min(best, time.perf_counter() - t0)
 print(f"BLOCK={BLOCK} TILE={ct.TILE} WIDE={ct.TILE_WIDE}@{ct.TILE_WIDE_CUTOFF} "
-      f"GROUP={ct.GROUP} TSKIP={ct.TSKIP} MXU={ct.MT_MXU} "
+      f"GROUP={ct.GROUP} TSKIP={ct.TSKIP} MXU={ct.MT_MXU} NSUB={ct.NSUB} "
       f"KF={KF}: {best/KF*1e3:.1f} ms/frame -> {KF/best:.2f} fps", flush=True)

@@ -64,6 +64,13 @@ TSKIP = False    # skip whole chunks behind the tile's worst best-t
                  # few skipped sweeps at ~7 chunks/scene.  Re-evaluate on
                  # scenes with many more chunks.
 SMALL_WAVEFRONT = 32768  # below this, skip sort + per-tile ordering
+NSUB = 1         # sub-tile granularity of the narrow phase: candidate
+                 # counts tracked per TILE/NSUB-row sub-tile, MT block
+                 # runs only on sub-tiles with a candidate ray.  Measured
+                 # a LOSS on the 100k bench (NSUB 1/2/4 = 85.6/94.9/125.4
+                 # ms/frame, scripts/exp_r3i.py): the extra per-sub
+                 # pl.when regions and scalar reads cost more than the
+                 # halved vector volume.  1 = off (production).
 MT_MXU = False   # narrow phase as ONE (TILE,16)@(16,4B) MXU matmul per
                  # visited cluster (accel/clusters._build_mt) instead of
                  # ~30 VPU ops per (TILE,B) element.  Correct (tpu_smoke
@@ -122,9 +129,16 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
     visited_ref[1] = jnp.int32(0)  # chunks slab-swept
 
     n_chunks = n_clusters // CHUNK
+    tile = rays_ref.shape[0]
+    H = tile // NSUB  # sub-tile rows
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    tri_iota = jax.lax.broadcasted_iota(jnp.int32, (rays_ref.shape[0], block), 1)
-    ones_col = jnp.ones((rays_ref.shape[0], 1), jnp.float32)
+    tri_iota = jax.lax.broadcasted_iota(jnp.int32, (H, block), 1)
+    ones_col = jnp.ones((tile, 1), jnp.float32)
+    # sub-tile selector (tile, NSUB): column s is 1 on rows of sub-tile s
+    sub_sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile, NSUB), 0) // H
+        == jax.lax.broadcasted_iota(jnp.int32, (tile, NSUB), 1)
+    ).astype(jnp.float32)
 
     def slab(ref, s):
         """Slab test of the tile vs 128 boxes of a (1, 8, L) bounds ref.
@@ -223,9 +237,9 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
                 & (lane_iota // GROUP == g)
             )
             counts_col = jax.lax.dot_general(
-                cand.astype(jnp.float32), ones_col, (((0,), (0,)), ((), ())),
+                cand.astype(jnp.float32), sub_sel, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (CHUNK, 1), nonzero only in this group's rows
+            )  # (CHUNK, NSUB), nonzero only in this group's rows
             counts_ref[:, :] = counts_col
             total = jnp.sum(counts_col)
 
@@ -238,96 +252,107 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
         def _sweep_group(base, g):
             def inner(k, _):
                 jj = g * GROUP + k
-                cnt = counts_ref[jj, 0]
+                # unrolled sub-tiles: each (H, block) narrow pass runs
+                # only when its sub-tile has a candidate ray
+                for s in range(NSUB):
+                    cnt = counts_ref[jj, s]
 
-                @pl.when(cnt > 0.0)
-                def _():
-                    visited_ref[0] = visited_ref[0] + 1
-                    cid = order_ref[0, 0, base + jj]
-                    tbase = pl.multiple_of(cid * block, 128)
-                    if MT_MXU:
-                        mtbase = pl.multiple_of(cid * (4 * block), 512)
-                        m = mt_ref[:, pl.ds(mtbase, 4 * block)]   # (16, 4B)
-                        prod = jax.lax.dot_general(
-                            r16, m, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST,
-                        )                                          # (TILE, 4B)
-                        det = prod[:, 0 * block:1 * block]
-                        u = prod[:, 1 * block:2 * block]
-                        v = prod[:, 2 * block:3 * block]
-                        t = prod[:, 3 * block:4 * block]
-                        pid = m[10:11, 0:block]                    # (1, B)
-                        sgn = jnp.sign(det)
-                        adet = jnp.abs(det)
-                        u = u * sgn
-                        v = v * sgn
-                        t = t * sgn
-                    else:
-                        tsl = pl.ds(tbase, block)
-                        v0x = tri_ref[0:1, tsl]
-                        v0y = tri_ref[1:2, tsl]
-                        v0z = tri_ref[2:3, tsl]
-                        e1x = tri_ref[3:4, tsl]
-                        e1y = tri_ref[4:5, tsl]
-                        e1z = tri_ref[5:6, tsl]
-                        e2x = tri_ref[6:7, tsl]
-                        e2y = tri_ref[7:8, tsl]
-                        e2z = tri_ref[8:9, tsl]
-                        pid = tri_ref[9:10, tsl]
+                    @pl.when(cnt > 0.0)
+                    def _(s=s):
+                        visited_ref[0] = visited_ref[0] + 1
+                        cid = order_ref[0, 0, base + jj]
+                        tbase = pl.multiple_of(cid * block, 128)
+                        r = slice(s * H, (s + 1) * H)
+                        if MT_MXU:
+                            mtbase = pl.multiple_of(cid * (4 * block), 512)
+                            m = mt_ref[:, pl.ds(mtbase, 4 * block)]  # (16,4B)
+                            prod = jax.lax.dot_general(
+                                r16[r], m, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST,
+                            )                                        # (H, 4B)
+                            det = prod[:, 0 * block:1 * block]
+                            u = prod[:, 1 * block:2 * block]
+                            v = prod[:, 2 * block:3 * block]
+                            t = prod[:, 3 * block:4 * block]
+                            pid = m[10:11, 0:block]                  # (1, B)
+                            sgn = jnp.sign(det)
+                            adet = jnp.abs(det)
+                            u = u * sgn
+                            v = v * sgn
+                            t = t * sgn
+                        else:
+                            tsl = pl.ds(tbase, block)
+                            v0x = tri_ref[0:1, tsl]
+                            v0y = tri_ref[1:2, tsl]
+                            v0z = tri_ref[2:3, tsl]
+                            e1x = tri_ref[3:4, tsl]
+                            e1y = tri_ref[4:5, tsl]
+                            e1z = tri_ref[5:6, tsl]
+                            e2x = tri_ref[6:7, tsl]
+                            e2y = tri_ref[7:8, tsl]
+                            e2z = tri_ref[8:9, tsl]
+                            pid = tri_ref[9:10, tsl]
 
-                        px = dy * e2z - dz * e2y
-                        py = dz * e2x - dx * e2z
-                        pz = dx * e2y - dy * e2x
-                        det = e1x * px + e1y * py + e1z * pz
-                        sgn = jnp.sign(det)
-                        adet = jnp.abs(det)
-                        tx = ox - v0x
-                        ty = oy - v0y
-                        tz = oz - v0z
-                        u = (tx * px + ty * py + tz * pz) * sgn
-                        qx = ty * e1z - tz * e1y
-                        qy = tz * e1x - tx * e1z
-                        qz = tx * e1y - ty * e1x
-                        v = (dx * qx + dy * qy + dz * qz) * sgn
-                        t = (e2x * qx + e2y * qy + e2z * qz) * sgn
-                    ok = (
-                        (adet > 1e-12)
-                        & (u >= 0.0)
-                        & (u <= adet)
-                        & (v >= 0.0)
-                        & (u + v <= adet)
-                    )
-                    inv = 1.0 / jnp.where(adet > 1e-12, adet, 1.0)
-                    t = jnp.where(ok, t * inv, C.INF)
-                    t = jnp.where(t > 0.0, t, C.INF)
-
-                    tmin = jnp.min(t, axis=1, keepdims=True)           # (TILE,1)
-                    closer = tmin < best_ref[:, 0:1]
-                    arg = jnp.argmin(t, axis=1).astype(jnp.int32)       # (TILE,)
-                    onehot = (tri_iota == arg[:, None]).astype(jnp.float32)
-                    onehot = onehot * closer.astype(jnp.float32)
-                    pid_win = jnp.sum(onehot * pid, axis=1, keepdims=True)
-                    u_win = jnp.sum(onehot * (u * inv), axis=1, keepdims=True)
-                    v_win = jnp.sum(onehot * (v * inv), axis=1, keepdims=True)
-
-                    best_ref[:, 0:1] = jnp.where(closer, tmin, best_ref[:, 0:1])
-                    best_ref[:, 1:2] = jnp.where(closer, pid_win, best_ref[:, 1:2])
-                    best_ref[:, 2:3] = jnp.where(closer, u_win, best_ref[:, 2:3])
-                    best_ref[:, 3:4] = jnp.where(closer, v_win, best_ref[:, 3:4])
-
-                    if want_attr:
-                        ab = attr_ref[pl.ds(tbase, block), :]           # (B, A)
-                        # HIGHEST: the MXU's default bf16 passes would
-                        # round the extracted attributes
-                        attr_win = jax.lax.dot_general(
-                            onehot, ab, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST,
-                        )                                               # (TILE, A)
-                        battr_ref[:, :] = jnp.where(
-                            closer, attr_win, battr_ref[:, :]
+                            dxs, dys, dzs = dx[r], dy[r], dz[r]
+                            px = dys * e2z - dzs * e2y
+                            py = dzs * e2x - dxs * e2z
+                            pz = dxs * e2y - dys * e2x
+                            det = e1x * px + e1y * py + e1z * pz
+                            sgn = jnp.sign(det)
+                            adet = jnp.abs(det)
+                            tx = ox[r] - v0x
+                            ty = oy[r] - v0y
+                            tz = oz[r] - v0z
+                            u = (tx * px + ty * py + tz * pz) * sgn
+                            qx = ty * e1z - tz * e1y
+                            qy = tz * e1x - tx * e1z
+                            qz = tx * e1y - ty * e1x
+                            v = (dxs * qx + dys * qy + dzs * qz) * sgn
+                            t = (e2x * qx + e2y * qy + e2z * qz) * sgn
+                        ok = (
+                            (adet > 1e-12)
+                            & (u >= 0.0)
+                            & (u <= adet)
+                            & (v >= 0.0)
+                            & (u + v <= adet)
                         )
+                        inv = 1.0 / jnp.where(adet > 1e-12, adet, 1.0)
+                        t = jnp.where(ok, t * inv, C.INF)
+                        t = jnp.where(t > 0.0, t, C.INF)
+
+                        tmin = jnp.min(t, axis=1, keepdims=True)    # (H,1)
+                        closer = tmin < best_ref[r, 0:1]
+                        arg = jnp.argmin(t, axis=1).astype(jnp.int32)  # (H,)
+                        onehot = (tri_iota == arg[:, None]).astype(jnp.float32)
+                        onehot = onehot * closer.astype(jnp.float32)
+                        pid_win = jnp.sum(onehot * pid, axis=1, keepdims=True)
+                        u_win = jnp.sum(onehot * (u * inv), axis=1,
+                                        keepdims=True)
+                        v_win = jnp.sum(onehot * (v * inv), axis=1,
+                                        keepdims=True)
+
+                        best_ref[r, 0:1] = jnp.where(closer, tmin,
+                                                     best_ref[r, 0:1])
+                        best_ref[r, 1:2] = jnp.where(closer, pid_win,
+                                                     best_ref[r, 1:2])
+                        best_ref[r, 2:3] = jnp.where(closer, u_win,
+                                                     best_ref[r, 2:3])
+                        best_ref[r, 3:4] = jnp.where(closer, v_win,
+                                                     best_ref[r, 3:4])
+
+                        if want_attr:
+                            ab = attr_ref[pl.ds(tbase, block), :]   # (B, A)
+                            # HIGHEST: the MXU's default bf16 passes would
+                            # round the extracted attributes
+                            attr_win = jax.lax.dot_general(
+                                onehot, ab, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST,
+                            )                                       # (H, A)
+                            battr_ref[r, :] = jnp.where(
+                                closer, attr_win, battr_ref[r, :]
+                            )
 
                 return 0
 
@@ -364,6 +389,7 @@ def _run_kernel(rays, cb_sorted, sb_sorted, order_t, tri, attr, mt,
     # triangles (measured: BLOCK=64 silently changes the render —
     # scripts/exp_r3k.py)
     assert block % 128 == 0, f"cluster block must be 128-aligned, got {block}"
+    assert tile % NSUB == 0 and (tile // NSUB) % 8 == 0, (tile, NSUB)
     n_pad = rays.shape[0]
     grid = n_pad // tile
     n_supers_pad = int(sb_sorted.shape[2])
@@ -374,7 +400,7 @@ def _run_kernel(rays, cb_sorted, sb_sorted, order_t, tri, attr, mt,
     scratch = [
         pltpu.VMEM((tile, 8), jnp.float32),        # best
         pltpu.VMEM((tile, ATTR_ROWS), jnp.float32),  # best attr
-        pltpu.VMEM((CHUNK, 1), jnp.float32),       # chunk candidate counts
+        pltpu.VMEM((CHUNK, NSUB), jnp.float32),    # per-sub-tile counts
         pltpu.VMEM((n_supers_pad, 1), jnp.float32),  # supercluster counts
         pltpu.SMEM((max(n_clusters // CHUNK, 1),),
                    jnp.float32),                   # per-chunk min entry t
