@@ -68,11 +68,11 @@ def main():
 
     import jax.numpy as jnp
 
-    # 8 sequential frames per dispatch: amortizes the ~30 ms tunnel
-    # dispatch floor (in-process sweep: 94.6 ms/frame at KF=4 ->
-    # 90.7 at KF=8, scripts/exp_r3k.py); bit-identical to 8
-    # single-frame dispatches (render_film_frames).
-    KF = 8
+    # 16 sequential frames per dispatch: amortizes the ~30 ms tunnel
+    # dispatch floor (in-process sweeps: 94.6 ms/frame at KF=4 -> 90.7
+    # at KF=8 -> 80.5 at KF=16, scripts/exp_r3k.py + exp_r3i.py);
+    # bit-identical to 16 single-frame dispatches (render_film_frames).
+    KF = 16
 
     def step(fl):
         fl, ov = pt_rgb.render_film_frames(
@@ -86,7 +86,7 @@ def main():
     fl.hdr.block_until_ready()
     log(f"compile + first {KF} frames: {time.time() - t0:.1f}s")
 
-    n_disp = 6
+    n_disp = 5
     times = []
     t0 = time.time()
     for _ in range(n_disp):

@@ -1,5 +1,10 @@
 """Round-3 experiment B: end-to-end frame variants (baseline, batched
-2/4 frames per dispatch, shared static cluster order), one process."""
+2/4 frames per dispatch, shared static cluster order), one process.
+
+HISTORICAL RECORD — measured the batched-wavefront variant
+(render_frames_batched) 4x slower than sequential frames; that API was
+subsequently removed in favour of render_film_frames (the sequential
+fori_loop batching bench.py uses), so this script no longer runs."""
 
 import sys
 import time

@@ -37,6 +37,8 @@ ct.GROUP = int(os.environ.get("GROUP", ct.GROUP))
 ct.TSKIP = bool(int(os.environ.get("TSKIP", "1" if ct.TSKIP else "0")))
 ct.MT_MXU = bool(int(os.environ.get("MT_MXU", "1" if ct.MT_MXU else "0")))
 ct.NSUB = int(os.environ.get("NSUB", ct.NSUB))
+ct.DIAG_NO_NARROW = bool(int(os.environ.get("NO_NARROW", "0")))
+ct.BF16_SLAB = bool(int(os.environ.get("BF16_SLAB", "1" if ct.BF16_SLAB else "0")))
 KF = int(os.environ.get("KF", "4"))
 
 from ti_raytrace_tpu import film as film_mod

@@ -96,3 +96,31 @@ def test_cluster_sorted_path_matches(sphere_scene, monkeypatch):
         np.asarray(t_small), np.asarray(t_sorted), rtol=1e-5, atol=1e-5
     )
     assert (np.asarray(prim_small) == np.asarray(prim_sorted)).all()
+
+
+@pytest.mark.parametrize("flag", ["MT_MXU", "BF16_SLAB"])
+def test_cluster_flag_variants_match(sphere_scene, monkeypatch, flag):
+    """The alternate kernel paths kept behind flags (matmul-form narrow
+    phase; bf16 broad phase with conservative margins) must reproduce
+    the default path's hits: MT_MXU within f32-reformulation tolerance,
+    BF16_SLAB bit-identically (its candidate set is a superset and the
+    narrow phase is unchanged)."""
+    from ti_raytrace_tpu.ops import cluster_trace as ct
+
+    scene = sphere_scene
+    o, d = _rays(scene, 128, seed=7)
+    t0, prim0, _ = trace_clustered(scene, o, d, interpret=True)
+    monkeypatch.setattr(ct, flag, True)
+    t1, prim1, _ = trace_clustered(scene, o, d, interpret=True)
+    t0, t1, prim0, prim1 = map(np.asarray, (t0, t1, prim0, prim1))
+    hit = t0 < 1e5
+    if flag == "BF16_SLAB":
+        np.testing.assert_array_equal(t0, t1)
+        np.testing.assert_array_equal(prim0, prim1)
+    else:
+        np.testing.assert_allclose(np.where(hit, t0, 0.0),
+                                   np.where(hit, t1, 0.0),
+                                   rtol=1e-4, atol=1e-4)
+        assert (hit == (t1 < 1e5)).all()
+        mismatch = hit & (prim0 != prim1)
+        assert mismatch.mean() < 0.02

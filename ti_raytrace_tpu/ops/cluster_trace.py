@@ -82,6 +82,19 @@ MT_MXU = False   # narrow phase as ONE (TILE,16)@(16,4B) MXU matmul per
                  # throughput.  Kept behind this flag as the measured
                  # record; the narrow phase stays on the VPU.
 PER_TILE_ORDER = True    # False: shared static cluster order for all tiles
+DIAG_NO_NARROW = False   # DIAGNOSTIC ONLY: skip the narrow phase to time
+                         # the broad phase + fixed overhead (renders miss
+                         # everything — never ship)
+BF16_SLAB = False        # broad phase in bf16: slab operands translated
+                         # to the tile's first ray origin in f32 (keeps
+                         # the b-o subtraction well-conditioned), rounded
+                         # to bf16, test widened by a 3% conservative
+                         # margin (candidate superset -> renders stay
+                         # bit-identical; verified).  Measured a LOSS:
+                         # 90.0 vs 80.7 ms/frame (scripts/exp_r3i.py) —
+                         # Mosaic v5e bf16 elementwise doesn't run 2x
+                         # (and has no bf16 vector compare; the
+                         # up/down-casts eat any packing gain).
 ATTR_ROWS = PRIM_A  # attr rows carried through the kernel
 OUT_W = 48       # t, prim, u, v, attr(ATTR_ROWS), visited, pad
 VISITED_COL = 4 + ATTR_ROWS  # diagnostics column in the OUT_W record
@@ -140,10 +153,45 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
         == jax.lax.broadcasted_iota(jnp.int32, (tile, NSUB), 1)
     ).astype(jnp.float32)
 
+    if BF16_SLAB:
+        # tile anchor: first (alive-first-sorted) ray's origin.  The
+        # translation happens in f32 BEFORE the bf16 round, so the b-o
+        # subtraction stays well-conditioned near the tile.
+        ax, ay, az = ox[0:1], oy[0:1], oz[0:1]
+        bf = jnp.bfloat16
+        oxb, oyb, ozb = ((ox - ax).astype(bf), (oy - ay).astype(bf),
+                         (oz - az).astype(bf))
+        ixb, iyb, izb = ix.astype(bf), iy.astype(bf), iz.astype(bf)
+
     def slab(ref, s):
         """Slab test of the tile vs 128 boxes of a (1, 8, L) bounds ref.
         Row 6 = validity (accel/clusters.py _empty_bounds: min > max does
-        NOT encode a miss in a branchless slab test).  Returns (tn, hit)."""
+        NOT encode a miss in a branchless slab test).  Returns (tn, hit);
+        under BF16_SLAB tn is a conservative LOWER bound (safe for the
+        front-to-back pruning), hit a superset of the f32 test."""
+        if BF16_SLAB:
+            bf = jnp.bfloat16
+            t1x = ((ref[0, 0:1, s] - ax).astype(bf) - oxb) * ixb
+            t2x = ((ref[0, 3:4, s] - ax).astype(bf) - oxb) * ixb
+            tn = jnp.minimum(t1x, t2x)
+            tf = jnp.maximum(t1x, t2x)
+            t1y = ((ref[0, 1:2, s] - ay).astype(bf) - oyb) * iyb
+            t2y = ((ref[0, 4:5, s] - ay).astype(bf) - oyb) * iyb
+            tn = jnp.maximum(tn, jnp.minimum(t1y, t2y))
+            tf = jnp.minimum(tf, jnp.maximum(t1y, t2y))
+            t1z = ((ref[0, 2:3, s] - az).astype(bf) - ozb) * izb
+            t2z = ((ref[0, 5:6, s] - az).astype(bf) - ozb) * izb
+            tn = jnp.maximum(tn, jnp.minimum(t1z, t2z))
+            tf = jnp.minimum(tf, jnp.maximum(t1z, t2z))
+            # 3% conservative margin >> the ~2^-7 accumulated bf16
+            # error; margins + comparison upcast to f32 (Mosaic v5e has
+            # no bf16 vector compare)
+            tnf = tn.astype(jnp.float32)
+            tff = tf.astype(jnp.float32)
+            tnf = tnf - 0.03 * jnp.abs(tnf)
+            tff = tff + 0.03 * jnp.abs(tff)
+            hit = (jnp.maximum(tnf, 0.0) <= tff) & (ref[0, 6:7, s] > 0.0)
+            return tnf, hit
         t1x = (ref[0, 0:1, s] - ox) * ix
         t2x = (ref[0, 3:4, s] - ox) * ix
         tn = jnp.minimum(t1x, t2x)
@@ -243,9 +291,10 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
             counts_ref[:, :] = counts_col
             total = jnp.sum(counts_col)
 
-            @pl.when(total > 0.0)
-            def _():
-                _sweep_group(base, g)
+            if not DIAG_NO_NARROW:
+                @pl.when(total > 0.0)
+                def _():
+                    _sweep_group(base, g)
 
             return 0
 
