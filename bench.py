@@ -63,20 +63,27 @@ def main():
 
     # all-glass scene: NEE contributes exactly zero -> compile it out
     nee = pt_rgb.has_nee_materials(scene)
-    compaction = cfg.compaction
-    log(f"nee={nee} compaction={compaction}")
 
     import jax.numpy as jnp
 
-    # 16 sequential frames per dispatch: amortizes the ~30 ms tunnel
-    # dispatch floor (in-process sweeps: 94.6 ms/frame at KF=4 -> 90.7
-    # at KF=8 -> 80.5 at KF=16, scripts/exp_r3k.py + exp_r3i.py);
-    # bit-identical to 16 single-frame dispatches (render_film_frames).
+    from ti_raytrace_tpu.examples.scenes import BENCH_SCHEDULE_MERGED
+
+    # 16 frames per dispatch (amortizes the ~30 ms tunnel dispatch floor,
+    # scripts/exp_r3k.py), traced in merged groups of 8: the deep
+    # compacted phases of 8 frames share one wavefront, which packs
+    # 8x more live rays per sorted tile (visited/tile ~1.7x down,
+    # scripts/exp_r3q.py) and amortizes the per-op sort/gather costs
+    # (81.8 -> 70.1 ms/frame, exp_r3r.py; G=16 regresses — 1M-lane
+    # sorts are superlinear).  The pooled-headroom schedule tightens the
+    # deep divisors for another 2.5 ms (exp_r3s.py, overflow 0).
     KF = 16
+    GROUP = 8
+    compaction = BENCH_SCHEDULE_MERGED
+    log(f"nee={nee} group={GROUP} compaction={compaction}")
 
     def step(fl):
-        fl, ov = pt_rgb.render_film_frames(
-            scene, spec, cam, fl, KF, compaction, nee
+        fl, ov = pt_rgb.render_film_frames_merged(
+            scene, spec, cam, fl, KF, GROUP, compaction, nee
         )
         return fl, ov
 

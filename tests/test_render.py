@@ -294,6 +294,63 @@ def test_compaction_matches_exact():
     assert abs(compacted.mean() - exact.mean()) / max(exact.mean(), 1e-9) < 0.02
 
 
+def test_merged_group1_matches_sequential():
+    """render_film_frames_merged(group=1) must replay render_film_frames'
+    exact RNG stream and phase structure — the merged path's contract."""
+    from ti_raytrace_tpu.integrators import pt_rgb
+
+    scene, cfg = EXAMPLES["single_model"]()
+    spec, cam = make_camera(scene, cfg, 32, 32)
+    nee = pt_rgb.has_nee_materials(scene)
+    sched = ((1, 2), (4, 8))
+
+    fl_s = film_mod.new_film(32, 32, seed=13)
+    fl_s, ov_s = pt_rgb.render_film_frames(scene, spec, cam, fl_s, 2, sched, nee)
+    fl_m = film_mod.new_film(32, 32, seed=13)
+    fl_m, ov_m = pt_rgb.render_film_frames_merged(
+        scene, spec, cam, fl_m, 2, 1, sched, nee
+    )
+    assert int(fl_m.frame) == int(fl_s.frame) == 2
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(fl_m.key)),
+        np.asarray(jax.random.key_data(fl_s.key)),
+    )
+    assert int(ov_m) == int(ov_s)
+    np.testing.assert_allclose(
+        np.asarray(fl_m.hdr), np.asarray(fl_s.hdr), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_merged_group2_consistent():
+    """group=2 merging changes only the RNG stream of merged bounces.
+    Camera rays stay on the film key chain, so pixels whose primary rays
+    miss in every frame are BIT-identical (sharp check of the g*N pixel
+    bookkeeping); hit pixels agree statistically."""
+    from ti_raytrace_tpu.integrators import pt_rgb
+
+    scene, cfg = EXAMPLES["single_model"]()
+    spec, cam = make_camera(scene, cfg, 32, 32)
+    nee = pt_rgb.has_nee_materials(scene)
+    sched = ((1, 2), (4, 8))
+    n = 8
+
+    fl_s = film_mod.new_film(32, 32, seed=13)
+    fl_s, _ = pt_rgb.render_film_frames(scene, spec, cam, fl_s, n, sched, nee)
+    fl_m = film_mod.new_film(32, 32, seed=13)
+    fl_m, ov = pt_rgb.render_film_frames_merged(
+        scene, spec, cam, fl_m, n, 2, sched, nee
+    )
+    a = np.asarray(fl_s.hdr)
+    b = np.asarray(fl_m.hdr)
+    assert np.isfinite(b).all() and b.min() >= 0.0
+    assert int(ov) == 0
+    # env-only pixels identical in both modes (same camera jitter chain)
+    same = np.isclose(a, b, rtol=1e-4).all(axis=-1)
+    assert same.mean() > 0.2, same.mean()
+    # overall energy agrees despite the different merged-bounce stream
+    assert abs(b.mean() - a.mean()) / max(a.mean(), 1e-9) < 0.15
+
+
 def test_calibrate_compaction_glass_scene():
     from ti_raytrace_tpu.integrators import pt_rgb
 

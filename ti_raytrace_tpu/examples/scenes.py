@@ -165,6 +165,13 @@ drops to ~0.18 after bounce 1); bench.py verifies zero overflow kills
 at runtime via render_frame_stats, so a scene change that invalidates
 this schedule is loud, not silently biased."""
 
+BENCH_SCHEDULE_MERGED = ((1, 4), (4, 32), (8, 128))
+"""Tighter schedule for the MERGED group renderer (bench.py, group=8):
+capacity pools across the group's frames, so survivor spikes average out
+and the deep divisors can halve their per-frame headroom (measured:
+67.6 vs 72.1 ms/frame at G=8 with overflow 0, scripts/exp_r3s.py; the
+next notch, 48/192, killed 40k paths over 80 frames — disqualified)."""
+
 
 def benchmark_100k(n_target: int = 100_000, cache: bool = True):
     """The reference's headline benchmark slot (README.md:56-58): a

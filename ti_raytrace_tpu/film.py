@@ -39,6 +39,22 @@ def accumulate(film: Film, radiance: jnp.ndarray) -> Film:
     return Film(hdr=hdr, frame=film.frame + 1, key=key)
 
 
+def accumulate_group(film: Film, radiance_sum: jnp.ndarray, n: int) -> Film:
+    """Fold n frames' SUMMED radiance into the running mean in one step.
+
+    Exactly n accumulate() calls in exact arithmetic:
+    mean' = (mean*frame + sum)/(frame+n).  The key advances by the same
+    n splits, so a group render stays on the film's per-frame key chain
+    (frame f's key is identical whether frames arrive one by one or in
+    groups — checkpoints remain interchangeable between the two modes)."""
+    f = film.frame.astype(jnp.float32)
+    hdr = (film.hdr * f + radiance_sum) / (f + n)
+    key = film.key
+    for _ in range(n):
+        key, _ = jax.random.split(key)
+    return Film(hdr=hdr, frame=film.frame + n, key=key)
+
+
 def to_srgb(film: Film, exposure: float = 0.5) -> jnp.ndarray:
     """Tone-mapped (W, H, 3) sRGB film (reference Example.py:43)."""
     return tone_map(film.hdr, exposure)

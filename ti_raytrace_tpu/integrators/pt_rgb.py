@@ -40,6 +40,7 @@ from ti_raytrace_tpu.utils.sampling import power_heuristic
 
 MAX_DEPTH = 15  # reference PT_RGB.py:21
 PRESORT_CARRY = False  # see trace_paths
+PACK_ROWS = 22  # rows of the packed carry matrix (_pack_carry)
 
 
 def _pack_carry(carry):
@@ -567,3 +568,125 @@ def render_film_frames(scene, spec: CameraSpec, cam, film, n_frames: int = 4,
         return film_mod.accumulate(fl, img), ov_total + ov
 
     return jax.lax.fori_loop(0, n_frames, body, (film, jnp.int32(0)))
+
+
+def _render_group(scene, spec, cam, frame0, key0, group: int, compaction,
+                  nee: bool, max_depth: int = MAX_DEPTH):
+    """`group` progressive frames with their compacted deep phases MERGED
+    into one wavefront.  Returns (summed (W, H, 3) radiance, overflow).
+
+    The per-tile cluster union in the deep phases is intrinsic at a given
+    survivor DENSITY (scripts/exp_r3p.py: it cannot be sorted away), but
+    density is a free variable: concatenating G frames' compacted carries
+    packs G-times more live rays per origin cell, so each 256-ray tile
+    spans a smaller cell and visits fewer clusters (measured on the 100k
+    bench, scripts/exp_r3q.py: visited/tile 16.2->9.2 / 31.5->18.3 /
+    64.2->38.2 at G=4 — ~1.7x fewer narrow-phase visits), while the
+    per-bounce sort/gather/shade ops (whose TPU cost is per OP, nearly
+    independent of lane count) amortize G-fold.
+
+    Per-frame camera rays and bounce 0 stay on the film's per-frame key
+    chain (k_cam/k_path = split(key_f)), so they are bit-identical to the
+    sequential loop; merged bounces (depth >= first compaction) draw from
+    frame 0's path key over the concatenated wavefront — a different but
+    equally valid RNG stream (every lane still gets fresh independent
+    uniforms; group=1 reduces EXACTLY to the sequential loop).  Lane g*N+p
+    belongs to frame g, pixel p; compaction capacity is pooled across the
+    group, so a one-frame survivor spike can borrow headroom."""
+    N = spec.width * spec.height
+    b_merge, dv0 = compaction[0]
+    w1 = max(1024, N // dv0)
+
+    def prologue(state, g):
+        key_f, ov = state
+        k_cam, k_path = jax.random.split(key_f)
+        o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
+        d = jnp.swapaxes(ray_directions(spec, cam, frame0 + g, k_cam), 0, 1)
+        c = _new_carry(o, d)
+        c = _bounce(scene, c, jax.random.fold_in(k_path, 0), nee, False,
+                    False, shared_origin=o[:, 0])
+        for depth in range(1, b_merge):
+            c = _bounce(scene, c, jax.random.fold_in(k_path, depth), nee,
+                        False)
+        c, accum = _flush(c, jnp.zeros((9, N), jnp.float32), identity=True)
+        c, ovg = _compact(c, w1)
+        c["pixel"] = c["pixel"] + g * N
+        key_next, _ = jax.random.split(key_f)  # film.accumulate's key chain
+        return (key_next, ov + ovg), (_pack_carry(c), accum)
+
+    (_, overflow), (packed, accums) = jax.lax.scan(
+        prologue, (key0, jnp.int32(0)), jnp.arange(group, dtype=jnp.int32)
+    )
+    carry = _unpack_carry(
+        jnp.swapaxes(packed, 0, 1).reshape(PACK_ROWS, group * w1)
+    )
+    accum_full = jnp.swapaxes(accums, 0, 1).reshape(9, group * N)
+
+    # frame 0's path key: group=1 then replays trace_paths' exact stream
+    _, k_merge = jax.random.split(key0)
+
+    starts = [s for s, _ in compaction]
+    ends = starts[1:] + [max_depth]
+    for i, ((b0, dv), b1) in enumerate(zip(compaction, ends)):
+        if b0 >= max_depth:
+            break
+        b1 = min(b1, max_depth)
+        if i > 0:
+            carry, accum_full = _flush(carry, accum_full)
+            carry, ovg = _compact(carry, group * max(1024, N // dv))
+            overflow = overflow + ovg
+
+        def cond(state, _b1=b1):
+            depth, c = state
+            return (depth < _b1) & jnp.any(c["alive"])
+
+        def body(state):
+            depth, c = state
+            c = _bounce(scene, c, jax.random.fold_in(k_merge, depth), nee,
+                        False)
+            return depth + 1, c
+
+        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(b0), carry))
+
+    carry, accum_full = _flush(carry, accum_full)
+    missed = jnp.any(accum_full[6:9] != 0.0, axis=0)
+    env = _env_radiance(scene, accum_full[3:6])
+    radiance = accum_full[0:3] + jnp.where(
+        missed[None], env * accum_full[6:9], 0.0
+    )
+    img_sum = radiance.reshape(3, group, N).sum(axis=1)
+    return (
+        jnp.swapaxes(img_sum, 0, 1).reshape(spec.width, spec.height, 3),
+        overflow,
+    )
+
+
+@partial(jax.jit, static_argnames=("spec", "n_frames", "group", "compaction",
+                                   "nee"), donate_argnums=(3,))
+def render_film_frames_merged(scene, spec: CameraSpec, cam, film,
+                              n_frames: int = 16, group: int = 4,
+                              compaction=None, nee: bool = True):
+    """n progressive frames in ONE dispatch, traced in merged groups.
+
+    Like render_film_frames, but each group of `group` frames shares its
+    compacted deep phases (see _render_group) — the production bench path
+    (81 -> ~60 ms/frame on the 100k scene).  Requires a compaction
+    schedule; the film ends on the same frame count and key chain as the
+    sequential loop, so checkpoints are interchangeable.
+
+    Returns (film', overflow_kills_total)."""
+    from ti_raytrace_tpu import film as film_mod
+
+    assert compaction, "merged rendering requires a compaction schedule"
+    assert n_frames % group == 0, (n_frames, group)
+
+    def gbody(_, state):
+        fl, ov_total = state
+        img_sum, ov = _render_group(
+            scene, spec, cam, fl.frame, fl.key, group, tuple(compaction), nee
+        )
+        return film_mod.accumulate_group(fl, img_sum, group), ov_total + ov
+
+    return jax.lax.fori_loop(
+        0, n_frames // group, gbody, (film, jnp.int32(0))
+    )
