@@ -389,6 +389,35 @@ def has_nee_materials(scene) -> bool:
     return bool(((mt != C.MAT_GLASS) & (mt != C.MAT_LIGHT)).any())
 
 
+def _while_bounces(scene, carry, key, depth0, b1, nee: bool,
+                   presort: bool = False, corrected: bool = False):
+    """Run bounces [depth0, b1) in a while_loop with the carry PACKED as
+    the (PACK_ROWS, N) f32 matrix.
+
+    A dict carry puts pred/int arrays on the loop boundary, and XLA
+    materializes each with a layout-retiling copy per iteration — the
+    two pred boundary copies alone profiled at ~55 ms each per merged
+    group at 524k lanes (scripts/exp_r3t.py + scripts/xplane.py).  The
+    packed f32 matrix crosses the boundary copy-free; pack/unpack are
+    slices/concats that fuse into the bounce body.  Bit-identical:
+    bool->f32->bool and the pixel bitcast are exact."""
+
+    def cond(state):
+        depth, m = state
+        return (depth < b1) & (jnp.max(m[18]) > 0.5)  # row 18 == alive
+
+    def body(state):
+        depth, m = state
+        c = _bounce(scene, _unpack_carry(m), jax.random.fold_in(key, depth),
+                    nee, presort, corrected)
+        return depth + 1, _pack_carry(c)
+
+    _, m = jax.lax.while_loop(
+        cond, body, (jnp.asarray(depth0, jnp.int32), _pack_carry(carry))
+    )
+    return _unpack_carry(m)
+
+
 def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
                 compaction=None, nee: bool = True, return_overflow: bool = False,
                 corrected: bool = False, camera_origin=None):
@@ -431,19 +460,9 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
 
     if not compaction:
         # exact single-phase path: one pixel scatter at the very end
-        carry = _new_carry(o, d)
-
-        def cond0(state):
-            depth, c = state
-            return (depth < max_depth) & jnp.any(c["alive"])
-
-        def body0(state):
-            depth, c = state
-            c = _bounce(scene, c, jax.random.fold_in(key, depth), nee, presort,
-                        corrected)
-            return depth + 1, c
-
-        _, carry = jax.lax.while_loop(cond0, body0, _start(carry))
+        depth0, carry = _start(_new_carry(o, d))
+        carry = _while_bounces(scene, carry, key, depth0, max_depth, nee,
+                               presort, corrected)
         missed = jnp.any(carry["miss_weight"] != 0.0, axis=0)
         env = _env_radiance(scene, carry["miss_dir"])
         radiance = carry["radiance"] + jnp.where(
@@ -476,18 +495,9 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
             carry, ov = _compact(carry, width)
             overflow = overflow + ov
 
-        def cond(state, _b1=b1):
-            depth, c = state
-            return (depth < _b1) & jnp.any(c["alive"])
-
-        def body(state):
-            depth, c = state
-            c = _bounce(scene, c, jax.random.fold_in(key, depth), nee, presort,
-                        corrected)
-            return depth + 1, c
-
-        init = _start(carry) if phase == 0 else (jnp.int32(b0), carry)
-        _, carry = jax.lax.while_loop(cond, body, init)
+        depth0, carry = _start(carry) if phase == 0 else (jnp.int32(b0), carry)
+        carry = _while_bounces(scene, carry, key, depth0, b1, nee, presort,
+                               corrected)
 
     carry, accum_full = _flush(carry, accum_full)
     radiance_full = accum_full[0:3]
@@ -636,17 +646,7 @@ def _render_group(scene, spec, cam, frame0, key0, group: int, compaction,
             carry, ovg = _compact(carry, group * max(1024, N // dv))
             overflow = overflow + ovg
 
-        def cond(state, _b1=b1):
-            depth, c = state
-            return (depth < _b1) & jnp.any(c["alive"])
-
-        def body(state):
-            depth, c = state
-            c = _bounce(scene, c, jax.random.fold_in(k_merge, depth), nee,
-                        False)
-            return depth + 1, c
-
-        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(b0), carry))
+        carry = _while_bounces(scene, carry, k_merge, b0, b1, nee)
 
     carry, accum_full = _flush(carry, accum_full)
     missed = jnp.any(accum_full[6:9] != 0.0, axis=0)
