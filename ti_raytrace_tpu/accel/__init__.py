@@ -26,7 +26,7 @@ def _interpret() -> bool:
 
 
 def trace(scene, origin, direction, sort_rays: bool = True,
-          sort_small: bool = False):
+          sort_small: bool = False, tile_order: bool = False):
     """Planar closest-hit: origin/direction (3, N) -> (t, prim).
 
     sort_rays=False skips the cluster tracer's coherence sort/unsort —
@@ -43,13 +43,14 @@ def trace(scene, origin, direction, sort_rays: bool = True,
 
     t, prim, _ = trace_clustered(
         scene, origin, direction, interpret=_interpret(), sort_rays=sort_rays,
-        sort_small=sort_small,
+        sort_small=sort_small, tile_order=tile_order,
     )
     return t, prim
 
 
 def trace_shaded(scene, origin, direction, sort_rays: bool = True,
-                 sort_small: bool = False, shared_origin=None):
+                 sort_small: bool = False, shared_origin=None,
+                 tile_order: bool = False):
     """Planar closest-hit + shading pack -> (t, prim, uv_bary, attr).
 
     shared_origin: (3,) common ray origin (pinhole camera wavefronts) —
@@ -67,7 +68,7 @@ def trace_shaded(scene, origin, direction, sort_rays: bool = True,
     t, prim, uv, attr = trace_clustered(
         scene, origin, direction, interpret=_interpret(), want_attr=True,
         sort_rays=sort_rays, sort_small=sort_small,
-        shared_origin=shared_origin,
+        shared_origin=shared_origin, tile_order=tile_order,
     )
     return t, prim, uv, attr
 

@@ -11,6 +11,7 @@ Film indexing convention matches the reference Taichi fields: arrays are
 """
 
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import NamedTuple
 
 import jax
@@ -129,6 +130,52 @@ def ray_directions(spec: CameraSpec, cam: CameraState, frame, key) -> jnp.ndarra
 
 def ray_origins(spec: CameraSpec, cam: CameraState) -> jnp.ndarray:
     return jnp.broadcast_to(cam.eye, (spec.width * spec.height, 3))
+
+
+@lru_cache(maxsize=None)
+def morton_pixel_order(width: int, height: int):
+    """Static Z-order pixel permutation for a (width, height) film.
+
+    Returns host int32 arrays (perm, inv): lane n of a morton-ordered
+    wavefront covers raster pixel perm[n] (raster id = x * height + y,
+    matching ray_directions' lane convention), and inv[raster] = lane.
+    Generating camera rays directly in this order makes every 256-lane
+    ray tile a compact Z-order pixel block — the coherence the per-bounce
+    sort used to restore, now for free (and statically, so the film/flush
+    stay in lane space and no sort/unsort gathers run at bounce 0)."""
+    xs = np.arange(width, dtype=np.uint32)[:, None]
+    ys = np.arange(height, dtype=np.uint32)[None, :]
+
+    def spread(v):
+        # interleave zeros between bits (16 -> 32 bit spread)
+        v = v.astype(np.uint64)
+        v = (v | (v << 8)) & np.uint64(0x00FF00FF)
+        v = (v | (v << 4)) & np.uint64(0x0F0F0F0F)
+        v = (v | (v << 2)) & np.uint64(0x33333333)
+        v = (v | (v << 1)) & np.uint64(0x55555555)
+        return v
+
+    code = (spread(xs) | (spread(ys) << np.uint64(1)))  # (W, H)
+    perm = np.argsort(code.reshape(-1), kind="stable").astype(np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=np.int32)
+    return perm, inv
+
+
+def ray_directions_morton(spec: CameraSpec, cam: CameraState, frame,
+                          key) -> jnp.ndarray:
+    """ray_directions, permuted into static morton pixel order: lane n is
+    pixel morton_pixel_order(W, H)[0][n], with the SAME per-pixel jitter
+    as the raster path (identical ray set, permuted lanes).
+
+    Implemented as raster generation + ONE sublane-axis gather: computing
+    directions natively from (N,) morton pixel coordinates measured 1.5x
+    SLOWER end-to-end (scripts/exp_r4b.py first attempt, 104 vs 69
+    ms/frame) — the 1-D intermediates broke the camera fusion into
+    layout-retiling copies across the per-frame scan boundary."""
+    perm, _ = morton_pixel_order(spec.width, spec.height)
+    d = ray_directions(spec, cam, frame, key)  # (N, 3) raster
+    return jnp.take(d, jnp.asarray(perm), axis=0)
 
 
 def project(spec: CameraSpec, cam: CameraState, p):

@@ -40,7 +40,37 @@ from ti_raytrace_tpu.utils.sampling import power_heuristic
 
 MAX_DEPTH = 15  # reference PT_RGB.py:21
 PRESORT_CARRY = False  # see trace_paths
+PRESORT_MERGED = True  # merged deep phases: sort the packed carry once
+                       # per bounce (_sort_carry, ONE (22,N) gather) and
+                       # trace with sort_rays=False + tile_order=True +
+                       # the planar kernel record — replaces the
+                       # per-trace sort + rays gather + (N,48) unsort.
+                       # Measured 67.6 -> 63.7 ms/frame on the 100k
+                       # bench (scripts/exp_r4c.py) AFTER the planar_in
+                       # kernel-operand fix; with the (N,8) record
+                       # operand it was a 107 ms/frame LOSS (the pallas
+                       # call's forced row-major layout propagated into
+                       # the bounce body and fragmented its fusions).
 PACK_ROWS = 22  # rows of the packed carry matrix (_pack_carry)
+FLUSH_NT = False  # accum buffer (N, 9) row-major: the flush scatter then
+                  # indexes the SUBLANE axis (lane-axis scatters of planar
+                  # arrays are the slow kind — the (9, 2M) deep flush
+                  # profiled at 50 ms/group).  Measured NEUTRAL on the
+                  # 100k bench (67.9 vs 68.3 ms/frame, scripts/exp_r4a.py
+                  # — the profiler's 50 ms span was async overlap, not
+                  # serialized scatter time); kept off.
+MORTON_CAMERA = True  # generate camera rays in static morton pixel
+                      # order (camera.morton_pixel_order) so bounce 0
+                      # runs with sort_rays=False: no coherence sort, no
+                      # (N,8)/(N,48) sort/unsort gathers; the film
+                      # accumulates in lane space with ONE unpermute
+                      # gather per frame group.  Measured 67.6 -> 60.5
+                      # ms/frame on the 100k bench (scripts/exp_r4b.py)
+                      # — but ONLY together with the planar_in/planar_out
+                      # kernel interface: with the (N, 8) record operand
+                      # built from planar o/d, XLA flips the whole bounce
+                      # body lane-major and the same change is a 106
+                      # ms/frame LOSS (ops/cluster_trace.py planar_in).
 
 
 def _pack_carry(carry):
@@ -109,7 +139,8 @@ def _sort_carry(scene, carry):
 
 
 def _bounce(scene, carry, key, nee: bool = True, presort: bool = False,
-            corrected: bool = False, shared_origin=None):
+            corrected: bool = False, shared_origin=None,
+            coherent: bool = False):
     if presort:
         carry = _sort_carry(scene, carry)
     o = carry["origin"]
@@ -122,9 +153,14 @@ def _bounce(scene, carry, key, nee: bool = True, presort: bool = False,
     u_bsdf = u[3:6]
     u_rr = u[6]
 
-    t, prim, uv_bary, attr = trace_shaded(scene, o, d, sort_rays=not presort,
+    # coherent=True: the wavefront is already in a spatially coherent
+    # lane order (static morton camera generation) — skip the tracer's
+    # sort/unsort; shared_origin keeps the front-to-back cluster order
+    t, prim, uv_bary, attr = trace_shaded(scene, o, d,
+                                          sort_rays=not presort and not coherent,
                                           sort_small=True,
-                                          shared_origin=shared_origin)
+                                          shared_origin=shared_origin,
+                                          tile_order=presort)
     hit = decode_hit(o, d, t, prim, uv_bary, attr)
     valid = hit.valid & alive
     fnormal = pv.faceforward(hit.normal, -d, hit.gnormal)
@@ -267,6 +303,39 @@ def _env_radiance(scene, d):
     return jnp.swapaxes(srgb_to_lrgb(rgb), 0, 1) * scene.env_power
 
 
+def _camera_rays(spec, cam, frame, k_cam):
+    """Full-film camera wavefront, planar (3, N): (o, d, inv_perm).
+
+    Under MORTON_CAMERA the lanes are in static Z-order (lane n = pixel
+    morton_pixel_order(W, H)[0][n]) and inv_perm maps raster pixel ->
+    lane for the final unpermute; otherwise raster order and None."""
+    from ti_raytrace_tpu.camera import (morton_pixel_order, ray_directions,
+                                        ray_directions_morton, ray_origins)
+
+    o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
+    if MORTON_CAMERA:
+        # barrier: force the physically-planar {1,0} layout on d here —
+        # the permutation gather is row-major-physical and letting its
+        # transposed layout leak into the bounce body retiles every
+        # downstream planar op (measured +30 ms/frame, scripts/exp_r4b)
+        d = jax.lax.optimization_barrier(
+            jnp.swapaxes(ray_directions_morton(spec, cam, frame, k_cam), 0, 1)
+        )
+        _, inv = morton_pixel_order(spec.width, spec.height)
+        return o, d, jnp.asarray(inv)
+    d = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
+    return o, d, None
+
+
+def _to_raster(radiance, inv_perm):
+    """Lane-space (3, N) radiance -> raster pixel order (one sublane-axis
+    gather via the transpose trick; no-op for raster-ordered lanes)."""
+    if inv_perm is None:
+        return radiance
+    r = jnp.take(jnp.swapaxes(radiance, 0, 1), inv_perm, axis=0)
+    return jnp.swapaxes(r, 0, 1)
+
+
 def _new_carry(o, d):
     N = o.shape[1]
     return dict(
@@ -302,7 +371,14 @@ def _flush(carry, accum_full, identity: bool = False):
     # a lane misses at most once (terminal), so a masked scatter-add is
     # an exact merge into the full-resolution pending-miss rows
     payload = jnp.concatenate([carry["radiance"], miss_d, miss_w], axis=0)
-    if identity:
+    if FLUSH_NT:
+        # row-major accum: the scatter indexes the sublane axis
+        payload = jnp.swapaxes(payload, 0, 1)
+        if identity:
+            accum_full = accum_full + payload
+        else:
+            accum_full = accum_full.at[pix, :].add(payload)
+    elif identity:
         accum_full = accum_full + payload
     else:
         accum_full = accum_full.at[:, pix].add(payload)
@@ -311,6 +387,18 @@ def _flush(carry, accum_full, identity: bool = False):
     carry["miss_dir"] = jnp.zeros_like(carry["miss_dir"])
     carry["miss_weight"] = jnp.zeros_like(carry["miss_weight"])
     return carry, accum_full
+
+
+def _new_accum(n):
+    """Full-resolution flush buffer [radiance | miss_dir | miss_w]:
+    (n, 9) row-major under FLUSH_NT (sublane-axis scatter), else the
+    planar (9, n)."""
+    return jnp.zeros((n, 9) if FLUSH_NT else (9, n), jnp.float32)
+
+
+def _accum_rows(accum):
+    """Planar (9, N) view of the accum buffer for the final env pass."""
+    return jnp.swapaxes(accum, 0, 1) if FLUSH_NT else accum
 
 
 def _compact(carry, new_n: int):
@@ -420,7 +508,8 @@ def _while_bounces(scene, carry, key, depth0, b1, nee: bool,
 
 def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
                 compaction=None, nee: bool = True, return_overflow: bool = False,
-                corrected: bool = False, camera_origin=None):
+                corrected: bool = False, camera_origin=None,
+                coherent_camera: bool = False):
     """Full path-trace of a planar wavefront: (3,N) rays -> (3,N) radiance.
 
     corrected=True divides BRDF-sampled bounces by the sampler's TRUE
@@ -454,7 +543,8 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
     def _start(ca):
         if camera_origin is not None and not presort:
             ca = _bounce(scene, ca, jax.random.fold_in(key, 0), nee, presort,
-                         corrected, shared_origin=camera_origin)
+                         corrected, shared_origin=camera_origin,
+                         coherent=coherent_camera)
             return jnp.int32(1), ca
         return jnp.int32(0), ca
 
@@ -475,7 +565,7 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
         return radiance
     N = o.shape[1]
     carry = _new_carry(o, d)
-    accum_full = jnp.zeros((9, N), jnp.float32)  # radiance|miss_dir|miss_w
+    accum_full = _new_accum(N)
 
     overflow = jnp.int32(0)
     # static phase schedule: (start, end, width)
@@ -496,13 +586,21 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
             overflow = overflow + ov
 
         depth0, carry = _start(carry) if phase == 0 else (jnp.int32(b0), carry)
-        carry = _while_bounces(scene, carry, key, depth0, b1, nee, presort,
-                               corrected)
+        # compacted deep phases presort the carry (see PRESORT_MERGED);
+        # phase 0 keeps the tracer-internal sort — this matches
+        # _render_group bounce for bounce, so merged group=1 stays
+        # bit-identical to this sequential loop
+        deep_presort = presort or (
+            phase > 0 and PRESORT_MERGED and needs_presort(scene)
+        )
+        carry = _while_bounces(scene, carry, key, depth0, b1, nee,
+                               deep_presort, corrected)
 
     carry, accum_full = _flush(carry, accum_full)
-    radiance_full = accum_full[0:3]
-    miss_dir_full = accum_full[3:6]
-    miss_w_full = accum_full[6:9]
+    acc = _accum_rows(accum_full)
+    radiance_full = acc[0:3]
+    miss_dir_full = acc[3:6]
+    miss_w_full = acc[6:9]
 
     # one deferred environment pass for every lane that escaped
     missed = jnp.any(miss_w_full != 0.0, axis=0)
@@ -518,10 +616,11 @@ def render_frame(scene, spec: CameraSpec, cam, frame, key, compaction=None,
                  nee: bool = True, corrected: bool = False):
     """One progressive frame (1 spp): returns (W, H, 3) radiance."""
     k_cam, k_path = jax.random.split(key)
-    o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
-    d = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
+    o, d, inv = _camera_rays(spec, cam, frame, k_cam)
     radiance = trace_paths(scene, o, d, k_path, compaction=compaction, nee=nee,
-                           corrected=corrected, camera_origin=o[:, 0])
+                           corrected=corrected, camera_origin=o[:, 0],
+                           coherent_camera=inv is not None)
+    radiance = _to_raster(radiance, inv)
     return jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)
 
 
@@ -534,12 +633,13 @@ def render_frame_stats(scene, spec: CameraSpec, cam, frame, key,
     (depth bias) — bench.py surfaces it so a too-tight schedule cannot
     silently regress the estimator."""
     k_cam, k_path = jax.random.split(key)
-    o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
-    d = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
+    o, d, inv = _camera_rays(spec, cam, frame, k_cam)
     radiance, overflow = trace_paths(
         scene, o, d, k_path, compaction=compaction, nee=nee,
         return_overflow=True, camera_origin=o[:, 0],
+        coherent_camera=inv is not None,
     )
+    radiance = _to_raster(radiance, inv)
     img = jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)
     return img, overflow
 
@@ -568,12 +668,13 @@ def render_film_frames(scene, spec: CameraSpec, cam, film, n_frames: int = 4,
     def body(_, state):
         fl, ov_total = state
         k_cam, k_path = jax.random.split(fl.key)
-        o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
-        d = jnp.swapaxes(ray_directions(spec, cam, fl.frame, k_cam), 0, 1)
+        o, d, inv = _camera_rays(spec, cam, fl.frame, k_cam)
         radiance, ov = trace_paths(
             scene, o, d, k_path, compaction=compaction, nee=nee,
             return_overflow=True, camera_origin=o[:, 0],
+            coherent_camera=inv is not None,
         )
+        radiance = _to_raster(radiance, inv)
         img = jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)
         return film_mod.accumulate(fl, img), ov_total + ov
 
@@ -610,15 +711,14 @@ def _render_group(scene, spec, cam, frame0, key0, group: int, compaction,
     def prologue(state, g):
         key_f, ov = state
         k_cam, k_path = jax.random.split(key_f)
-        o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
-        d = jnp.swapaxes(ray_directions(spec, cam, frame0 + g, k_cam), 0, 1)
+        o, d, inv = _camera_rays(spec, cam, frame0 + g, k_cam)
         c = _new_carry(o, d)
         c = _bounce(scene, c, jax.random.fold_in(k_path, 0), nee, False,
-                    False, shared_origin=o[:, 0])
+                    False, shared_origin=o[:, 0], coherent=inv is not None)
         for depth in range(1, b_merge):
             c = _bounce(scene, c, jax.random.fold_in(k_path, depth), nee,
                         False)
-        c, accum = _flush(c, jnp.zeros((9, N), jnp.float32), identity=True)
+        c, accum = _flush(c, _new_accum(N), identity=True)
         c, ovg = _compact(c, w1)
         c["pixel"] = c["pixel"] + g * N
         key_next, _ = jax.random.split(key_f)  # film.accumulate's key chain
@@ -630,7 +730,10 @@ def _render_group(scene, spec, cam, frame0, key0, group: int, compaction,
     carry = _unpack_carry(
         jnp.swapaxes(packed, 0, 1).reshape(PACK_ROWS, group * w1)
     )
-    accum_full = jnp.swapaxes(accums, 0, 1).reshape(9, group * N)
+    if FLUSH_NT:
+        accum_full = accums.reshape(group * N, 9)
+    else:
+        accum_full = jnp.swapaxes(accums, 0, 1).reshape(9, group * N)
 
     # frame 0's path key: group=1 then replays trace_paths' exact stream
     _, k_merge = jax.random.split(key0)
@@ -646,15 +749,22 @@ def _render_group(scene, spec, cam, frame0, key0, group: int, compaction,
             carry, ovg = _compact(carry, group * max(1024, N // dv))
             overflow = overflow + ovg
 
-        carry = _while_bounces(scene, carry, k_merge, b0, b1, nee)
+        carry = _while_bounces(scene, carry, k_merge, b0, b1, nee,
+                               presort=PRESORT_MERGED and needs_presort(scene))
 
     carry, accum_full = _flush(carry, accum_full)
-    missed = jnp.any(accum_full[6:9] != 0.0, axis=0)
-    env = _env_radiance(scene, accum_full[3:6])
-    radiance = accum_full[0:3] + jnp.where(
-        missed[None], env * accum_full[6:9], 0.0
+    acc = _accum_rows(accum_full)
+    missed = jnp.any(acc[6:9] != 0.0, axis=0)
+    env = _env_radiance(scene, acc[3:6])
+    radiance = acc[0:3] + jnp.where(
+        missed[None], env * acc[6:9], 0.0
     )
     img_sum = radiance.reshape(3, group, N).sum(axis=1)
+    if MORTON_CAMERA:
+        from ti_raytrace_tpu.camera import morton_pixel_order
+
+        _, inv = morton_pixel_order(spec.width, spec.height)
+        img_sum = _to_raster(img_sum, jnp.asarray(inv))
     return (
         jnp.swapaxes(img_sum, 0, 1).reshape(spec.width, spec.height, 3),
         overflow,

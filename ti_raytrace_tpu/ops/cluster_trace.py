@@ -104,13 +104,25 @@ assert CHUNKS_COL < OUT_W, "PRIM_A grew past the kernel's OUT_W record"
 
 def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
             out_ref, best_ref, battr_ref, counts_ref, scounts_ref, stmin_ref,
-            visited_ref, *, n_clusters, n_supers_pad, block, want_attr):
-    ox = rays_ref[:, 0:1]
-    oy = rays_ref[:, 1:2]
-    oz = rays_ref[:, 2:3]
-    dx = rays_ref[:, 3:4]
-    dy = rays_ref[:, 4:5]
-    dz = rays_ref[:, 5:6]
+            visited_ref, *, n_clusters, n_supers_pad, block, want_attr,
+            planar_out=False, planar_in=False):
+    if planar_in:
+        # planar (8, tile) ray block: the operand layout then matches the
+        # caller's planar wavefront exactly.  Feeding the (N, 8) operand
+        # from planar o/d flips XLA's layout assignment for the WHOLE
+        # bounce body to lane-major (+35 ms/frame of fragmented fusions,
+        # scripts/exp_r4b/r4c.py) — the in-kernel transpose costs one
+        # (8, tile) shuffle per program instead.
+        rays = jnp.swapaxes(rays_ref[:, :], 0, 1)       # (tile, 8)
+        ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+        dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+    else:
+        ox = rays_ref[:, 0:1]
+        oy = rays_ref[:, 1:2]
+        oz = rays_ref[:, 2:3]
+        dx = rays_ref[:, 3:4]
+        dy = rays_ref[:, 4:5]
+        dz = rays_ref[:, 5:6]
 
     if MT_MXU:
         # per-ray matmul vector r = [o x d, d, o, 1, 0...] (TILE, 16);
@@ -142,7 +154,7 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
     visited_ref[1] = jnp.int32(0)  # chunks slab-swept
 
     n_chunks = n_clusters // CHUNK
-    tile = rays_ref.shape[0]
+    tile = rays_ref.shape[1] if planar_in else rays_ref.shape[0]
     H = tile // NSUB  # sub-tile rows
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
     tri_iota = jax.lax.broadcasted_iota(jnp.int32, (H, block), 1)
@@ -412,6 +424,32 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
+    if planar_out:
+        # planar (OUT_W, tile) record: consumers slice physically-planar
+        # rows with NO unsort gather (the gather doubled as the only
+        # efficient record->planar converter — reading column slices of
+        # the (N, 48) record straight from HBM measured +35 ms/frame,
+        # scripts/exp_r4b.py).  One in-VMEM transpose per program.
+        rec = jnp.concatenate(
+            [
+                best_ref[:, 0:4],
+                battr_ref[:, :] if want_attr
+                else jnp.zeros((best_ref.shape[0], ATTR_ROWS), jnp.float32),
+            ],
+            axis=1,
+        )                                           # (tile, 4 + ATTR_ROWS)
+        out_ref[0:4 + ATTR_ROWS, :] = jnp.swapaxes(rec, 0, 1)
+        out_ref[4 + ATTR_ROWS:OUT_W, :] = jnp.zeros_like(
+            out_ref[4 + ATTR_ROWS:OUT_W, :]
+        )
+        out_ref[VISITED_COL:VISITED_COL + 1, :] = jnp.broadcast_to(
+            visited_ref[0].astype(jnp.float32), (1, out_ref.shape[1])
+        )
+        out_ref[CHUNKS_COL:CHUNKS_COL + 1, :] = jnp.broadcast_to(
+            visited_ref[1].astype(jnp.float32), (1, out_ref.shape[1])
+        )
+        return
+
     out_ref[:, 4:OUT_W] = jnp.zeros_like(out_ref[:, 4:OUT_W])
     out_ref[:, 0:4] = best_ref[:, 0:4]
     if want_attr:
@@ -428,18 +466,20 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_clusters", "block", "want_attr", "interpret", "tile"),
+    static_argnames=("n_clusters", "block", "want_attr", "interpret", "tile",
+                     "planar_out", "planar_in"),
 )
 def _run_kernel(rays, cb_sorted, sb_sorted, order_t, tri, attr, mt,
                 n_clusters: int, block: int, want_attr: bool,
-                interpret: bool, tile: int = TILE):
+                interpret: bool, tile: int = TILE, planar_out: bool = False,
+                planar_in: bool = False):
     # the narrow phase slices tri_ref at cid*block with a multiple_of(128)
     # hint; a block below 128 would misalign the slice and read the wrong
     # triangles (measured: BLOCK=64 silently changes the render —
     # scripts/exp_r3k.py)
     assert block % 128 == 0, f"cluster block must be 128-aligned, got {block}"
     assert tile % NSUB == 0 and (tile // NSUB) % 8 == 0, (tile, NSUB)
-    n_pad = rays.shape[0]
+    n_pad = rays.shape[1] if planar_in else rays.shape[0]
     grid = n_pad // tile
     n_supers_pad = int(sb_sorted.shape[2])
     # shared-order mode: bounds/order arrays have a leading dim of 1 and
@@ -455,13 +495,24 @@ def _run_kernel(rays, cb_sorted, sb_sorted, order_t, tri, attr, mt,
                    jnp.float32),                   # per-chunk min entry t
         pltpu.SMEM((2,), jnp.int32),               # visited/chunks counters
     ]
+    if planar_out:
+        out_spec = pl.BlockSpec((OUT_W, tile), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((OUT_W, n_pad), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((tile, OUT_W), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_pad, OUT_W), jnp.float32)
     return pl.pallas_call(
         functools.partial(
             _kernel, n_clusters=n_clusters, n_supers_pad=n_supers_pad,
-            block=block, want_attr=want_attr,
+            block=block, want_attr=want_attr, planar_out=planar_out,
+            planar_in=planar_in,
         ),
         grid=(grid,),
         in_specs=[
+            pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+            if planar_in else
             pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, 8, n_clusters), bmap, memory_space=pltpu.VMEM
@@ -477,10 +528,8 @@ def _run_kernel(rays, cb_sorted, sb_sorted, order_t, tri, attr, mt,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (tile, OUT_W), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, OUT_W), jnp.float32),
+        out_specs=out_spec,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -522,10 +571,18 @@ def _tile_order(rays, n_tiles, cb, n_clusters, tile: int = TILE):
     at GROUP granularity anyway).  Returns (order (n_tiles, 1, C) int32,
     cb_sorted (n_tiles, 8, C), sb_sorted (n_tiles, 8, S_pad) supercluster
     bounds in the same per-tile order, validity in row 6)."""
-    S = n_clusters // GROUP  # superclusters: GROUP consecutive clusters
-    S_pad = ((S + CHUNK - 1) // CHUNK) * CHUNK
     org = rays[:, 0:3].reshape(n_tiles, tile, 3)
     cent = jnp.mean(org, axis=1)                                   # (T,3)
+    return _tile_order_from_cent(cent, cb, n_clusters)
+
+
+def _tile_order_from_cent(cent, cb, n_clusters):
+    """Core of _tile_order, from per-tile mean origins (T, 3) directly
+    (planar-wavefront callers compute cent without an (N, 8) rays
+    array)."""
+    n_tiles = cent.shape[0]
+    S = n_clusters // GROUP  # superclusters: GROUP consecutive clusters
+    S_pad = ((S + CHUNK - 1) // CHUNK) * CHUNK
     bmin = cb[0:3, :n_clusters].T.reshape(S, GROUP, 3).min(axis=1)  # (S,3)
     bmax = cb[3:6, :n_clusters].T.reshape(S, GROUP, 3).max(axis=1)
     valid = cb[6, :n_clusters].reshape(S, GROUP).max(axis=1)       # (S,)
@@ -602,6 +659,7 @@ def _static_order(cb, n_clusters):
 def trace_clustered(
     scene, o, d, interpret: bool = False, sort_rays: bool = True,
     want_attr: bool = False, sort_small: bool = False, shared_origin=None,
+    tile_order: bool = False,
 ):
     """Closest hit via the cluster kernel + dense analytic-shape tail.
 
@@ -612,10 +670,6 @@ def trace_clustered(
     # small wavefronts run FEWER, WIDER programs (see TILE_WIDE above)
     tile = TILE_WIDE if N <= TILE_WIDE_CUTOFF else TILE
     n_pad = ((N + tile - 1) // tile) * tile
-    rays = jnp.zeros((n_pad, 8), jnp.float32)
-    rays = rays.at[:N, 0:3].set(jnp.swapaxes(o, 0, 1))
-    rays = rays.at[:N, 3:6].set(jnp.swapaxes(d, 0, 1))
-    # padding rays: direction 0 -> safe_inv makes them miss everything
 
     # Small wavefronts (BDPT walks/connections trace dozens of ~10k-lane
     # wavefronts per frame) skip the coherence sort AND the per-tile
@@ -629,12 +683,29 @@ def trace_clustered(
         sort_rays = False
 
     if sort_rays:
+        # row-record rays, built once and permuted by the coherence sort.
+        # padding rays: direction 0 -> safe_inv makes them miss everything
+        rays = jnp.zeros((n_pad, 8), jnp.float32)
+        rays = rays.at[:N, 0:3].set(jnp.swapaxes(o, 0, 1))
+        rays = rays.at[:N, 3:6].set(jnp.swapaxes(d, 0, 1))
         key_o, key_d = _coherence_key(scene, o, d)
         key_o = jnp.pad(key_o, (0, n_pad - N), constant_values=jnp.uint32(0xFFFFFFFF))
         key_d = jnp.pad(key_d, (0, n_pad - N), constant_values=jnp.uint32(0xFFFFFFFF))
         idx = jnp.arange(n_pad, dtype=jnp.int32)
         _, _, order = jax.lax.sort((key_o, key_d, idx), num_keys=2, is_stable=True)
         rays = jnp.take(rays, order, axis=0)
+    else:
+        # PLANAR (8, n_pad) rays: a pure concat of the caller's planar
+        # wavefront.  The (N, 8) record operand here couples the pallas
+        # call's forced row-major layout to the planar o/d and flips the
+        # whole bounce body lane-major (+35 ms/frame, scripts/exp_r4b/c)
+        # — the kernel transposes each (8, tile) block instead.
+        pad = ((0, 0), (0, n_pad - N))
+        rays = jnp.concatenate(
+            [jnp.pad(o, pad), jnp.pad(d, pad),
+             jnp.zeros((2, n_pad), jnp.float32)],
+            axis=0,
+        )
 
     cb = scene.cluster_bounds
     tri = scene.cluster_tri
@@ -643,15 +714,30 @@ def trace_clustered(
     block = int(tri.shape[1]) // n_clusters
 
     n_tiles = n_pad // tile
-    if not sort_rays or not PER_TILE_ORDER:
-        order_t, cb_sorted, sb_sorted = _static_order(cb, n_clusters)
-    elif shared_origin is not None:
-        # single-origin wavefront (camera rays): one shared order
+    if shared_origin is not None and PER_TILE_ORDER:
+        # single-origin wavefront (camera rays): one shared front-to-back
+        # order.  Ray-independent, so it applies even with
+        # sort_rays=False (statically morton-ordered camera wavefronts
+        # keep the front-to-back pruning without any sort/unsort —
+        # the r2 "reshape-only tiling" loss came from falling back to
+        # _static_order here, not from the tiling itself).
         order_t, cb_sorted, sb_sorted = _point_order(cb, n_clusters,
                                                      shared_origin)
-    else:
+    elif (not sort_rays and not tile_order) or not PER_TILE_ORDER:
+        order_t, cb_sorted, sb_sorted = _static_order(cb, n_clusters)
+    elif sort_rays:
         order_t, cb_sorted, sb_sorted = _tile_order(rays, n_tiles, cb,
                                                     n_clusters, tile)
+    else:
+        # per-tile front-to-back order for a presorted planar wavefront
+        # (pt_rgb._sort_carry + tile_order=True): tile centroids straight
+        # from the planar origin rows (padding zeros only skew the last
+        # partial tile's heuristic order; pruning stays exact)
+        cent = jnp.swapaxes(
+            rays[0:3].reshape(3, n_tiles, tile).mean(axis=2), 0, 1
+        )
+        order_t, cb_sorted, sb_sorted = _tile_order_from_cent(cent, cb,
+                                                              n_clusters)
 
     # with the VPU narrow phase the matmul table must NOT ride along as a
     # kernel input: full-array inputs are VMEM-resident (~29 MB on the
@@ -660,6 +746,7 @@ def trace_clustered(
     out = _run_kernel(
         rays, cb_sorted, sb_sorted, order_t, tri, attr, mt,
         n_clusters, block, want_attr, interpret, tile,
+        planar_out=not sort_rays, planar_in=not sort_rays,
     )
     if sort_rays:
         inv = jnp.zeros((n_pad,), jnp.int32).at[order].set(
@@ -668,10 +755,18 @@ def trace_clustered(
         if not want_attr:
             out = out[:, 0:4]  # unsort-gather only what the caller reads
         out = jnp.take(out, inv, axis=0)
-    t = out[:N, 0]
-    prim = out[:N, 1].astype(jnp.int32)
-    uv = jnp.swapaxes(out[:N, 2:4], 0, 1)
-    attr_out = jnp.swapaxes(out[:N, 4:4 + ATTR_ROWS], 0, 1) if want_attr else None
+        t = out[:N, 0]
+        prim = out[:N, 1].astype(jnp.int32)
+        uv = jnp.swapaxes(out[:N, 2:4], 0, 1)
+        attr_out = (jnp.swapaxes(out[:N, 4:4 + ATTR_ROWS], 0, 1)
+                    if want_attr else None)
+    else:
+        # planar kernel record: consumers slice rows, no unsort gather
+        # and no layout conversion anywhere (see _kernel planar_out)
+        t = out[0, :N]
+        prim = out[1, :N].astype(jnp.int32)
+        uv = out[2:4, :N]
+        attr_out = out[4:4 + ATTR_ROWS, :N] if want_attr else None
 
     # analytic shapes: dense tail over the (few) PRIM_SHAPE prims
     P = scene.n_prims
