@@ -68,16 +68,17 @@ def main():
 
     from ti_raytrace_tpu.examples.scenes import BENCH_SCHEDULE_MERGED
 
-    # 16 frames per dispatch (amortizes the ~30 ms tunnel dispatch floor,
-    # scripts/exp_r3k.py), traced in merged groups of 8: the deep
-    # compacted phases of 8 frames share one wavefront, which packs
-    # 8x more live rays per sorted tile (visited/tile ~1.7x down,
-    # scripts/exp_r3q.py) and amortizes the per-op sort/gather costs
-    # (81.8 -> 70.1 ms/frame, exp_r3r.py; G=16 regresses — 1M-lane
-    # sorts are superlinear).  The pooled-headroom schedule tightens the
-    # deep divisors for another 2.5 ms (exp_r3s.py, overflow 0).
-    KF = 16
-    GROUP = 8
+    # 32 frames per dispatch (amortizes the ~30 ms tunnel dispatch
+    # floor), traced in merged groups of 16: the deep compacted phases
+    # of 16 frames share one wavefront, which packs 16x more live rays
+    # per sorted tile (scripts/exp_r3q.py) and amortizes the per-op
+    # sort/gather costs.  G=16 used to regress on 1M-lane sorts; after
+    # the carry-presort rework (one packed gather per bounce,
+    # scripts/exp_r4c.py) it wins: 56.8 (G8/KF16) -> 52.8 ms/frame
+    # (scripts/exp_r4f.py, overflow 0; G=32 regresses, and tighter
+    # schedules 4/48/192+ kill 100k+ paths — disqualified).
+    KF = 32
+    GROUP = 16
     compaction = BENCH_SCHEDULE_MERGED
     log(f"nee={nee} group={GROUP} compaction={compaction}")
 
