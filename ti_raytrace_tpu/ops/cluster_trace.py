@@ -81,6 +81,9 @@ MT_MXU = False   # narrow phase as ONE (TILE,16)@(16,4B) MXU matmul per
                  # visit costs ~6.5 us of MXU latency vs ~1.4 us of VPU
                  # throughput.  Kept behind this flag as the measured
                  # record; the narrow phase stays on the VPU.
+BITMASK_NARROW = True    # narrow phase iterates set bits of a per-group
+                         # candidate bitmask instead of GROUP scalar
+                         # read+branch iterations (A/B: exp_r4g.py)
 PER_TILE_ORDER = True    # False: shared static cluster order for all tiles
 DIAG_NO_NARROW = False   # DIAGNOSTIC ONLY: skip the narrow phase to time
                          # the broad phase + fixed overhead (renders miss
@@ -290,12 +293,157 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
         # best_t changes as clusters are visited, so candidates are
         # re-derived from the chunk's slab results every GROUP clusters —
         # one straggler ray stops costing the whole chunk.
+        def _visit(base, jj, s=0):
+            visited_ref[0] = visited_ref[0] + 1
+            cid = order_ref[0, 0, base + jj]
+            tbase = pl.multiple_of(cid * block, 128)
+            r = slice(s * H, (s + 1) * H)
+            if MT_MXU:
+                mtbase = pl.multiple_of(cid * (4 * block), 512)
+                m = mt_ref[:, pl.ds(mtbase, 4 * block)]  # (16,4B)
+                prod = jax.lax.dot_general(
+                    r16[r], m, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )                                        # (H, 4B)
+                det = prod[:, 0 * block:1 * block]
+                u = prod[:, 1 * block:2 * block]
+                v = prod[:, 2 * block:3 * block]
+                t = prod[:, 3 * block:4 * block]
+                pid = m[10:11, 0:block]                  # (1, B)
+                sgn = jnp.sign(det)
+                adet = jnp.abs(det)
+                u = u * sgn
+                v = v * sgn
+                t = t * sgn
+            else:
+                tsl = pl.ds(tbase, block)
+                v0x = tri_ref[0:1, tsl]
+                v0y = tri_ref[1:2, tsl]
+                v0z = tri_ref[2:3, tsl]
+                e1x = tri_ref[3:4, tsl]
+                e1y = tri_ref[4:5, tsl]
+                e1z = tri_ref[5:6, tsl]
+                e2x = tri_ref[6:7, tsl]
+                e2y = tri_ref[7:8, tsl]
+                e2z = tri_ref[8:9, tsl]
+                pid = tri_ref[9:10, tsl]
+
+                dxs, dys, dzs = dx[r], dy[r], dz[r]
+                px = dys * e2z - dzs * e2y
+                py = dzs * e2x - dxs * e2z
+                pz = dxs * e2y - dys * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                sgn = jnp.sign(det)
+                adet = jnp.abs(det)
+                tx = ox[r] - v0x
+                ty = oy[r] - v0y
+                tz = oz[r] - v0z
+                u = (tx * px + ty * py + tz * pz) * sgn
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (dxs * qx + dys * qy + dzs * qz) * sgn
+                t = (e2x * qx + e2y * qy + e2z * qz) * sgn
+            ok = (
+                (adet > 1e-12)
+                & (u >= 0.0)
+                & (u <= adet)
+                & (v >= 0.0)
+                & (u + v <= adet)
+            )
+            inv = 1.0 / jnp.where(adet > 1e-12, adet, 1.0)
+            t = jnp.where(ok, t * inv, C.INF)
+            t = jnp.where(t > 0.0, t, C.INF)
+
+            tmin = jnp.min(t, axis=1, keepdims=True)    # (H,1)
+            closer = tmin < best_ref[r, 0:1]
+            arg = jnp.argmin(t, axis=1).astype(jnp.int32)  # (H,)
+            onehot = (tri_iota == arg[:, None]).astype(jnp.float32)
+            onehot = onehot * closer.astype(jnp.float32)
+            pid_win = jnp.sum(onehot * pid, axis=1, keepdims=True)
+            u_win = jnp.sum(onehot * (u * inv), axis=1,
+                            keepdims=True)
+            v_win = jnp.sum(onehot * (v * inv), axis=1,
+                            keepdims=True)
+
+            best_ref[r, 0:1] = jnp.where(closer, tmin,
+                                         best_ref[r, 0:1])
+            best_ref[r, 1:2] = jnp.where(closer, pid_win,
+                                         best_ref[r, 1:2])
+            best_ref[r, 2:3] = jnp.where(closer, u_win,
+                                         best_ref[r, 2:3])
+            best_ref[r, 3:4] = jnp.where(closer, v_win,
+                                         best_ref[r, 3:4])
+
+            if want_attr:
+                ab = attr_ref[pl.ds(tbase, block), :]   # (B, A)
+                # HIGHEST: the MXU's default bf16 passes would
+                # round the extracted attributes
+                attr_win = jax.lax.dot_general(
+                    onehot, ab, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )                                       # (H, A)
+                battr_ref[r, :] = jnp.where(
+                    closer, attr_win, battr_ref[r, :]
+                )
+
         def group_body(g, _):
             cand = (
                 hit_geo
                 & (tn < best_ref[:, 0:1])
                 & (lane_iota // GROUP == g)
             )
+            if NSUB == 1 and BITMASK_NARROW and not DIAG_NO_NARROW:
+                # bitmask narrow phase: pack "cluster has a candidate"
+                # into one 32-bit scalar (two exact f32 dot halves) and
+                # while-loop over its set bits — the inner loop then
+                # runs EXACTLY visits times instead of GROUP scalar
+                # read+branch iterations per candidate group (deep
+                # tiles visit ~9-38 of 128 clusters; the skipped
+                # iterations were a sizable share of kernel time).
+                counts = jax.lax.dot_general(
+                    jnp.swapaxes(ones_col, 0, 1), cand.astype(jnp.float32),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                            # (1, CHUNK)
+                # EXACT power-of-two weights via integer shifts —
+                # jnp.exp2 is a polynomial approximation (exp2(13) =
+                # 8192.004) and its rounding error corrupts the mask
+                nz = (counts > 0.0).astype(jnp.int32)
+                kk = lane_iota % GROUP
+                in_g = lane_iota // GROUP == g
+                pw = jnp.left_shift(jnp.int32(1), kk % 16)
+                w_lo = jnp.where(in_g & (kk < 16), pw, 0)
+                w_hi = jnp.where(in_g & (kk >= 16), pw, 0)
+                bits_lo = jnp.sum(nz * w_lo)
+                bits_hi = jnp.sum(nz * w_hi)
+                bits0 = bits_lo | (bits_hi << 16)
+
+                def wbody(b):
+                    low = b & (-b)
+                    # bit index of the isolated bit via 5 mask tests
+                    # (pure int32 scalar ops — Mosaic has no
+                    # uint32->f32 cast for the float-exponent trick,
+                    # and bit 31 is negative as int32 so signed float
+                    # math corrupts it anyway)
+                    k = jnp.int32(0)
+                    for shift, m in ((4, -65536),            # 0xFFFF0000
+                                     (3, -16711936),         # 0xFF00FF00
+                                     (2, -252645136),        # 0xF0F0F0F0
+                                     (1, -858993460),        # 0xCCCCCCCC
+                                     (0, -1431655766)):      # 0xAAAAAAAA
+                        k = k | (
+                            ((low & jnp.int32(m)) != 0).astype(jnp.int32)
+                            << shift
+                        )
+                    _visit(base, g * GROUP + k)
+                    return b & (b - 1)
+
+                jax.lax.while_loop(lambda b: b != 0, wbody, bits0)
+                return 0
+
             counts_col = jax.lax.dot_general(
                 cand.astype(jnp.float32), sub_sel, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -320,100 +468,7 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
 
                     @pl.when(cnt > 0.0)
                     def _(s=s):
-                        visited_ref[0] = visited_ref[0] + 1
-                        cid = order_ref[0, 0, base + jj]
-                        tbase = pl.multiple_of(cid * block, 128)
-                        r = slice(s * H, (s + 1) * H)
-                        if MT_MXU:
-                            mtbase = pl.multiple_of(cid * (4 * block), 512)
-                            m = mt_ref[:, pl.ds(mtbase, 4 * block)]  # (16,4B)
-                            prod = jax.lax.dot_general(
-                                r16[r], m, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST,
-                            )                                        # (H, 4B)
-                            det = prod[:, 0 * block:1 * block]
-                            u = prod[:, 1 * block:2 * block]
-                            v = prod[:, 2 * block:3 * block]
-                            t = prod[:, 3 * block:4 * block]
-                            pid = m[10:11, 0:block]                  # (1, B)
-                            sgn = jnp.sign(det)
-                            adet = jnp.abs(det)
-                            u = u * sgn
-                            v = v * sgn
-                            t = t * sgn
-                        else:
-                            tsl = pl.ds(tbase, block)
-                            v0x = tri_ref[0:1, tsl]
-                            v0y = tri_ref[1:2, tsl]
-                            v0z = tri_ref[2:3, tsl]
-                            e1x = tri_ref[3:4, tsl]
-                            e1y = tri_ref[4:5, tsl]
-                            e1z = tri_ref[5:6, tsl]
-                            e2x = tri_ref[6:7, tsl]
-                            e2y = tri_ref[7:8, tsl]
-                            e2z = tri_ref[8:9, tsl]
-                            pid = tri_ref[9:10, tsl]
-
-                            dxs, dys, dzs = dx[r], dy[r], dz[r]
-                            px = dys * e2z - dzs * e2y
-                            py = dzs * e2x - dxs * e2z
-                            pz = dxs * e2y - dys * e2x
-                            det = e1x * px + e1y * py + e1z * pz
-                            sgn = jnp.sign(det)
-                            adet = jnp.abs(det)
-                            tx = ox[r] - v0x
-                            ty = oy[r] - v0y
-                            tz = oz[r] - v0z
-                            u = (tx * px + ty * py + tz * pz) * sgn
-                            qx = ty * e1z - tz * e1y
-                            qy = tz * e1x - tx * e1z
-                            qz = tx * e1y - ty * e1x
-                            v = (dxs * qx + dys * qy + dzs * qz) * sgn
-                            t = (e2x * qx + e2y * qy + e2z * qz) * sgn
-                        ok = (
-                            (adet > 1e-12)
-                            & (u >= 0.0)
-                            & (u <= adet)
-                            & (v >= 0.0)
-                            & (u + v <= adet)
-                        )
-                        inv = 1.0 / jnp.where(adet > 1e-12, adet, 1.0)
-                        t = jnp.where(ok, t * inv, C.INF)
-                        t = jnp.where(t > 0.0, t, C.INF)
-
-                        tmin = jnp.min(t, axis=1, keepdims=True)    # (H,1)
-                        closer = tmin < best_ref[r, 0:1]
-                        arg = jnp.argmin(t, axis=1).astype(jnp.int32)  # (H,)
-                        onehot = (tri_iota == arg[:, None]).astype(jnp.float32)
-                        onehot = onehot * closer.astype(jnp.float32)
-                        pid_win = jnp.sum(onehot * pid, axis=1, keepdims=True)
-                        u_win = jnp.sum(onehot * (u * inv), axis=1,
-                                        keepdims=True)
-                        v_win = jnp.sum(onehot * (v * inv), axis=1,
-                                        keepdims=True)
-
-                        best_ref[r, 0:1] = jnp.where(closer, tmin,
-                                                     best_ref[r, 0:1])
-                        best_ref[r, 1:2] = jnp.where(closer, pid_win,
-                                                     best_ref[r, 1:2])
-                        best_ref[r, 2:3] = jnp.where(closer, u_win,
-                                                     best_ref[r, 2:3])
-                        best_ref[r, 3:4] = jnp.where(closer, v_win,
-                                                     best_ref[r, 3:4])
-
-                        if want_attr:
-                            ab = attr_ref[pl.ds(tbase, block), :]   # (B, A)
-                            # HIGHEST: the MXU's default bf16 passes would
-                            # round the extracted attributes
-                            attr_win = jax.lax.dot_general(
-                                onehot, ab, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST,
-                            )                                       # (H, A)
-                            battr_ref[r, :] = jnp.where(
-                                closer, attr_win, battr_ref[r, :]
-                            )
+                        _visit(base, jj, s)
 
                 return 0
 
