@@ -47,7 +47,7 @@ def main():
     spec = CameraSpec(size, size)
     cam = orbit_camera(centre, 0.0, 0.0, scale)
     nee = pt_rgb.has_nee_materials(scene)
-    G = 8
+    G = 16
 
     def step(fl):
         fl, ov = pt_rgb.render_film_frames_merged(

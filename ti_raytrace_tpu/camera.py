@@ -168,14 +168,29 @@ def ray_directions_morton(spec: CameraSpec, cam: CameraState, frame,
     pixel morton_pixel_order(W, H)[0][n], with the SAME per-pixel jitter
     as the raster path (identical ray set, permuted lanes).
 
-    Implemented as raster generation + ONE sublane-axis gather: computing
-    directions natively from (N,) morton pixel coordinates measured 1.5x
-    SLOWER end-to-end (scripts/exp_r4b.py first attempt, 104 vs 69
-    ms/frame) — the 1-D intermediates broke the camera fusion into
-    layout-retiling copies across the per-frame scan boundary."""
-    perm, _ = morton_pixel_order(spec.width, spec.height)
-    d = ray_directions(spec, cam, frame, key)  # (N, 3) raster
-    return jnp.take(d, jnp.asarray(perm), axis=0)
+    Computed natively in planar (3, N) form from the morton pixel
+    coordinate constants — no gather.  (A pre-planar_in attempt at
+    native generation measured 1.5x slower end-to-end, but that was the
+    kernel-operand layout cascade, fixed since; the gather variant costs
+    a real 2.5 ms/frame — scripts/exp_r4h.py.)  Returns PLANAR (3, N),
+    unlike ray_directions' (N, 3)."""
+    W, H = spec.width, spec.height
+    N = W * H
+    perm, _ = morton_pixel_order(W, H)
+    px = jnp.asarray((perm // H).astype(np.float32))
+    py = jnp.asarray((perm % H).astype(np.float32))
+    jit = jax.random.uniform(key, (2, N), dtype=jnp.float32) - 0.5
+    on = (jnp.asarray(frame) != 0).astype(jnp.float32)
+    x = (px + jit[0] * on - spec.cx) / spec.fx  # (N,)
+    y = (py + jit[1] * on - spec.cy) / spec.fy
+    r3 = cam.view_inv[:3, :3]
+    dw = (
+        r3[:, 0:1] * x[None, :]
+        + r3[:, 1:2] * y[None, :]
+        - r3[:, 2:3]
+    )                                           # (3, N) planar
+    inv_len = jax.lax.rsqrt(dw[0] * dw[0] + dw[1] * dw[1] + dw[2] * dw[2])
+    return dw * inv_len[None, :]
 
 
 def project(spec: CameraSpec, cam: CameraState, p):

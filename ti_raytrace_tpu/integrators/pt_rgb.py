@@ -52,13 +52,6 @@ PRESORT_MERGED = True  # merged deep phases: sort the packed carry once
                        # call's forced row-major layout propagated into
                        # the bounce body and fragmented its fusions).
 PACK_ROWS = 22  # rows of the packed carry matrix (_pack_carry)
-FLUSH_NT = False  # accum buffer (N, 9) row-major: the flush scatter then
-                  # indexes the SUBLANE axis (lane-axis scatters of planar
-                  # arrays are the slow kind — the (9, 2M) deep flush
-                  # profiled at 50 ms/group).  Measured NEUTRAL on the
-                  # 100k bench (67.9 vs 68.3 ms/frame, scripts/exp_r4a.py
-                  # — the profiler's 50 ms span was async overlap, not
-                  # serialized scatter time); kept off.
 MORTON_CAMERA = True  # generate camera rays in static morton pixel
                       # order (camera.morton_pixel_order) so bounce 0
                       # runs with sort_rays=False: no coherence sort, no
@@ -314,13 +307,7 @@ def _camera_rays(spec, cam, frame, k_cam):
 
     o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
     if MORTON_CAMERA:
-        # barrier: force the physically-planar {1,0} layout on d here —
-        # the permutation gather is row-major-physical and letting its
-        # transposed layout leak into the bounce body retiles every
-        # downstream planar op (measured +30 ms/frame, scripts/exp_r4b)
-        d = jax.lax.optimization_barrier(
-            jnp.swapaxes(ray_directions_morton(spec, cam, frame, k_cam), 0, 1)
-        )
+        d = ray_directions_morton(spec, cam, frame, k_cam)  # planar (3, N)
         _, inv = morton_pixel_order(spec.width, spec.height)
         return o, d, jnp.asarray(inv)
     d = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
@@ -352,53 +339,57 @@ def _new_carry(o, d):
     )
 
 
-def _flush(carry, accum_full, identity: bool = False):
-    """Scatter the carry's accumulated radiance / pending env misses back
-    to ONE full-resolution (9, N) buffer [radiance | miss_dir | miss_w]
-    by pixel id, and clear them in the carry.
-
-    One fused scatter-add instead of three: each full-width scatter paid
-    its own multi-ms cost (profiled fusion.32/36/40, scripts/exp_r3d.py),
-    and the three payloads share the same pixel index vector.
+def _flush(carry, accum, identity: bool = False, scene=None):
+    """Bank the carry's accumulated radiance / pending env misses into
+    the full-resolution accum pair (radiance (3, N), miss (6, N) =
+    [miss_dir | miss_w]) by pixel id, and clear them in the carry.
 
     identity=True (static): the carry has never been compacted, so
-    carry['pixel'] is exactly arange(N) — the scatter degenerates to a
-    plain add.  XLA cannot infer this (the ids are loop-carried)."""
+    carry['pixel'] is exactly arange(N) — the flush degenerates to
+    plain adds.  XLA cannot infer this (the ids are loop-carried).
+
+    scene given (deep flushes): the pending env misses are RESOLVED
+    here — one env gather over the compacted carry (a few % of the
+    film) folds them into radiance, so the scatter writes the 3
+    radiance rows only.  The 9-row deep scatter was the largest
+    non-kernel item at G=16 (120 ms/group into a (9, 4M) accum); the
+    radiance and miss accums are SEPARATE arrays because a scatter
+    into a row-slice of one (9, N) buffer lowers to a windowed scatter
+    that measured 7x slower end-to-end.  Only the prologue's identity
+    adds populate the miss rows, so the final env pass covers exactly
+    the camera-ray misses."""
+    rad, miss = accum
     pix = carry["pixel"]
     has_miss = jnp.any(carry["miss_weight"] != 0.0, axis=0)
-    miss_d = jnp.where(has_miss[None], carry["miss_dir"], 0.0)
-    miss_w = jnp.where(has_miss[None], carry["miss_weight"], 0.0)
-    # a lane misses at most once (terminal), so a masked scatter-add is
-    # an exact merge into the full-resolution pending-miss rows
-    payload = jnp.concatenate([carry["radiance"], miss_d, miss_w], axis=0)
-    if FLUSH_NT:
-        # row-major accum: the scatter indexes the sublane axis
-        payload = jnp.swapaxes(payload, 0, 1)
-        if identity:
-            accum_full = accum_full + payload
-        else:
-            accum_full = accum_full.at[pix, :].add(payload)
-    elif identity:
-        accum_full = accum_full + payload
+    if scene is not None and not identity:
+        env = _env_radiance(scene, carry["miss_dir"])
+        radiance = carry["radiance"] + jnp.where(
+            has_miss[None], env * carry["miss_weight"], 0.0
+        )
+        rad = rad.at[:, pix].add(radiance)
     else:
-        accum_full = accum_full.at[:, pix].add(payload)
+        miss_d = jnp.where(has_miss[None], carry["miss_dir"], 0.0)
+        miss_w = jnp.where(has_miss[None], carry["miss_weight"], 0.0)
+        # a lane misses at most once (terminal), so a masked add is an
+        # exact merge into the full-resolution pending-miss rows
+        payload = jnp.concatenate([miss_d, miss_w], 0)
+        if identity:
+            rad = rad + carry["radiance"]
+            miss = miss + payload
+        else:
+            rad = rad.at[:, pix].add(carry["radiance"])
+            miss = miss.at[:, pix].add(payload)
     carry = dict(carry)
     carry["radiance"] = jnp.zeros_like(carry["radiance"])
     carry["miss_dir"] = jnp.zeros_like(carry["miss_dir"])
     carry["miss_weight"] = jnp.zeros_like(carry["miss_weight"])
-    return carry, accum_full
+    return carry, (rad, miss)
 
 
 def _new_accum(n):
-    """Full-resolution flush buffer [radiance | miss_dir | miss_w]:
-    (n, 9) row-major under FLUSH_NT (sublane-axis scatter), else the
-    planar (9, n)."""
-    return jnp.zeros((n, 9) if FLUSH_NT else (9, n), jnp.float32)
-
-
-def _accum_rows(accum):
-    """Planar (9, N) view of the accum buffer for the final env pass."""
-    return jnp.swapaxes(accum, 0, 1) if FLUSH_NT else accum
+    """Full-resolution flush buffers (radiance (3,n), [miss_dir|miss_w]
+    (6,n))."""
+    return jnp.zeros((3, n), jnp.float32), jnp.zeros((6, n), jnp.float32)
 
 
 def _compact(carry, new_n: int):
@@ -581,6 +572,7 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
             carry, accum_full = _flush(
                 carry, accum_full,
                 identity=(phase == 1),  # never compacted yet: pixel==arange
+                scene=scene,
             )
             carry, ov = _compact(carry, width)
             overflow = overflow + ov
@@ -596,11 +588,10 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
         carry = _while_bounces(scene, carry, key, depth0, b1, nee,
                                deep_presort, corrected)
 
-    carry, accum_full = _flush(carry, accum_full)
-    acc = _accum_rows(accum_full)
-    radiance_full = acc[0:3]
-    miss_dir_full = acc[3:6]
-    miss_w_full = acc[6:9]
+    carry, accum_full = _flush(carry, accum_full, scene=scene)
+    radiance_full, acc_miss = accum_full
+    miss_dir_full = acc_miss[0:3]
+    miss_w_full = acc_miss[3:6]
 
     # one deferred environment pass for every lane that escaped
     missed = jnp.any(miss_w_full != 0.0, axis=0)
@@ -730,10 +721,10 @@ def _render_group(scene, spec, cam, frame0, key0, group: int, compaction,
     carry = _unpack_carry(
         jnp.swapaxes(packed, 0, 1).reshape(PACK_ROWS, group * w1)
     )
-    if FLUSH_NT:
-        accum_full = accums.reshape(group * N, 9)
-    else:
-        accum_full = jnp.swapaxes(accums, 0, 1).reshape(9, group * N)
+    accum_full = (
+        jnp.swapaxes(accums[0], 0, 1).reshape(3, group * N),
+        jnp.swapaxes(accums[1], 0, 1).reshape(6, group * N),
+    )
 
     # frame 0's path key: group=1 then replays trace_paths' exact stream
     _, k_merge = jax.random.split(key0)
@@ -745,19 +736,19 @@ def _render_group(scene, spec, cam, frame0, key0, group: int, compaction,
             break
         b1 = min(b1, max_depth)
         if i > 0:
-            carry, accum_full = _flush(carry, accum_full)
+            carry, accum_full = _flush(carry, accum_full, scene=scene)
             carry, ovg = _compact(carry, group * max(1024, N // dv))
             overflow = overflow + ovg
 
         carry = _while_bounces(scene, carry, k_merge, b0, b1, nee,
                                presort=PRESORT_MERGED and needs_presort(scene))
 
-    carry, accum_full = _flush(carry, accum_full)
-    acc = _accum_rows(accum_full)
-    missed = jnp.any(acc[6:9] != 0.0, axis=0)
-    env = _env_radiance(scene, acc[3:6])
-    radiance = acc[0:3] + jnp.where(
-        missed[None], env * acc[6:9], 0.0
+    carry, accum_full = _flush(carry, accum_full, scene=scene)
+    acc_rad, acc_miss = accum_full
+    missed = jnp.any(acc_miss[3:6] != 0.0, axis=0)
+    env = _env_radiance(scene, acc_miss[0:3])
+    radiance = acc_rad + jnp.where(
+        missed[None], env * acc_miss[3:6], 0.0
     )
     img_sum = radiance.reshape(3, group, N).sum(axis=1)
     if MORTON_CAMERA:
