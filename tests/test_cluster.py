@@ -98,6 +98,40 @@ def test_cluster_sorted_path_matches(sphere_scene, monkeypatch):
     assert (np.asarray(prim_small) == np.asarray(prim_sorted)).all()
 
 
+def test_cluster_origin_mt_matches(sphere_scene, monkeypatch):
+    """The shared-origin precomputed-MT narrow phase (ORIGIN_MT, used
+    for camera wavefronts) must reproduce the generic path's hits within
+    f32-reformulation tolerance — same contract as MT_MXU."""
+    from ti_raytrace_tpu.ops import cluster_trace as ct
+
+    scene = sphere_scene
+    o, d = _rays(scene, 128, seed=11)
+    o = jnp.broadcast_to(o[:, :1], o.shape)  # one pinhole origin
+    # aim at jittered points near the centre so most rays hit
+    rng = np.random.default_rng(12)
+    lo = np.asarray(scene.aabb_min)
+    hi = np.asarray(scene.aabb_max)
+    c = 0.5 * (lo + hi)
+    tgt = c[:, None] + rng.normal(size=(3, 128)) * (hi - lo)[:, None] * 0.3
+    d = jnp.asarray(tgt, jnp.float32) - o
+    d = d / jnp.linalg.norm(d, axis=0, keepdims=True)
+    monkeypatch.setattr(ct, "ORIGIN_MT", False)
+    t0, prim0, _ = trace_clustered(scene, o, d, interpret=True,
+                                   shared_origin=o[:, 0])
+    monkeypatch.setattr(ct, "ORIGIN_MT", True)
+    t1, prim1, _ = trace_clustered(scene, o, d, interpret=True,
+                                   shared_origin=o[:, 0])
+    t0, t1, prim0, prim1 = map(np.asarray, (t0, t1, prim0, prim1))
+    hit = t0 < 1e5
+    assert hit.sum() > 20
+    np.testing.assert_allclose(np.where(hit, t0, 0.0),
+                               np.where(hit, t1, 0.0),
+                               rtol=1e-4, atol=1e-4)
+    assert (hit == (t1 < 1e5)).all()
+    mismatch = hit & (prim0 != prim1)
+    assert mismatch.mean() < 0.02
+
+
 @pytest.mark.parametrize("flag", ["MT_MXU", "BF16_SLAB"])
 def test_cluster_flag_variants_match(sphere_scene, monkeypatch, flag):
     """The alternate kernel paths kept behind flags (matmul-form narrow

@@ -84,6 +84,18 @@ MT_MXU = False   # narrow phase as ONE (TILE,16)@(16,4B) MXU matmul per
 BITMASK_NARROW = True    # narrow phase iterates set bits of a per-group
                          # candidate bitmask instead of GROUP scalar
                          # read+branch iterations (A/B: exp_r4g.py)
+REFRESH = 1      # groups per candidate refresh (BITMASK_NARROW only):
+                 # the (tn < best) candidate mask + counts matmul run once
+                 # per REFRESH groups instead of per group.  Coarser
+                 # refresh = fewer broad-phase MXU dots per chunk but
+                 # less front-to-back pruning (a candidate SUPERSET —
+                 # the narrow phase is exact either way, so renders are
+                 # bit-identical at any value).
+ATTR_HIGH = False  # attr one-hot extraction at Precision.HIGH (3 MXU
+                   # passes) instead of HIGHEST (6).  bf16x3 covers a
+                   # full f32 mantissa (v1+v2+v3 spans 24 bits), so a
+                   # 0/1-one-hot x f32-value product should stay exact;
+                   # gate on the tpu_smoke bit-identity check.
 PER_TILE_ORDER = True    # False: shared static cluster order for all tiles
 DIAG_NO_NARROW = False   # DIAGNOSTIC ONLY: skip the narrow phase to time
                          # the broad phase + fixed overhead (renders miss
@@ -98,6 +110,18 @@ BF16_SLAB = False        # broad phase in bf16: slab operands translated
                          # Mosaic v5e bf16 elementwise doesn't run 2x
                          # (and has no bf16 vector compare; the
                          # up/down-casts eat any packing gain).
+ORIGIN_MT = True   # shared-origin wavefronts (camera rays: one pinhole
+                   # origin for every lane and every frame) precompute
+                   # the origin-dependent Moller-Trumbore terms per
+                   # triangle OUTSIDE the kernel: with T = o - v0 fixed,
+                   # det = d.(e2 x e1), u = d.(e2 x T), v = d.(T x e1),
+                   # t = e2.(T x e1) * sign(det) — the narrow phase
+                   # drops from ~40 to ~25 vector ops per visit.  The
+                   # (12, C*B) table is built in-graph from cluster_tri
+                   # (~25 MFLOP, hoisted out of the per-frame scan since
+                   # the origin is loop-invariant).  NOT bit-identical
+                   # to the generic path (different op order) — gated by
+                   # the golden bounds + oracle tolerance tests.
 ATTR_ROWS = PRIM_A  # attr rows carried through the kernel
 OUT_W = 48       # t, prim, u, v, attr(ATTR_ROWS), visited, pad
 VISITED_COL = 4 + ATTR_ROWS  # diagnostics column in the OUT_W record
@@ -108,7 +132,7 @@ assert CHUNKS_COL < OUT_W, "PRIM_A grew past the kernel's OUT_W record"
 def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
             out_ref, best_ref, battr_ref, counts_ref, scounts_ref, stmin_ref,
             visited_ref, *, n_clusters, n_supers_pad, block, want_attr,
-            planar_out=False, planar_in=False):
+            planar_out=False, planar_in=False, origin_mt=False):
     if planar_in:
         # planar (8, tile) ray block: the operand layout then matches the
         # caller's planar wavefront exactly.  Feeding the (N, 8) operand
@@ -316,6 +340,22 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
                 u = u * sgn
                 v = v * sgn
                 t = t * sgn
+            elif origin_mt:
+                # shared-origin narrow phase: tri_ref rows are the
+                # precomputed [n | s | q | pid | tconst] table (see
+                # _origin_mt_table) — three dot products per (ray, tri)
+                tsl = pl.ds(tbase, block)
+                pid = tri_ref[9:10, tsl]
+                dxs, dys, dzs = dx[r], dy[r], dz[r]
+                det = (dxs * tri_ref[0:1, tsl] + dys * tri_ref[1:2, tsl]
+                       + dzs * tri_ref[2:3, tsl])
+                sgn = jnp.sign(det)
+                adet = jnp.abs(det)
+                u = (dxs * tri_ref[3:4, tsl] + dys * tri_ref[4:5, tsl]
+                     + dzs * tri_ref[5:6, tsl]) * sgn
+                v = (dxs * tri_ref[6:7, tsl] + dys * tri_ref[7:8, tsl]
+                     + dzs * tri_ref[8:9, tsl]) * sgn
+                t = tri_ref[10:11, tsl] * sgn
             else:
                 tsl = pl.ds(tbase, block)
                 v0x = tri_ref[0:1, tsl]
@@ -383,18 +423,14 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
                 attr_win = jax.lax.dot_general(
                     onehot, ab, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=(jax.lax.Precision.HIGH if ATTR_HIGH
+                               else jax.lax.Precision.HIGHEST),
                 )                                       # (H, A)
                 battr_ref[r, :] = jnp.where(
                     closer, attr_win, battr_ref[r, :]
                 )
 
-        def group_body(g, _):
-            cand = (
-                hit_geo
-                & (tn < best_ref[:, 0:1])
-                & (lane_iota // GROUP == g)
-            )
+        def group_body(gr, _):
             if NSUB == 1 and BITMASK_NARROW and not DIAG_NO_NARROW:
                 # bitmask narrow phase: pack "cluster has a candidate"
                 # into one 32-bit scalar (two exact f32 dot halves) and
@@ -403,6 +439,14 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
                 # read+branch iterations per candidate group (deep
                 # tiles visit ~9-38 of 128 clusters; the skipped
                 # iterations were a sizable share of kernel time).
+                # REFRESH > 1: one candidate mask + counts dot covers
+                # REFRESH groups (pruning refreshes less often — a
+                # candidate superset, still exact).
+                cand = (
+                    hit_geo
+                    & (tn < best_ref[:, 0:1])
+                    & (lane_iota // (GROUP * REFRESH) == gr)
+                )
                 counts = jax.lax.dot_general(
                     jnp.swapaxes(ones_col, 0, 1), cand.astype(jnp.float32),
                     (((1,), (0,)), ((), ())),
@@ -413,37 +457,45 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
                 # 8192.004) and its rounding error corrupts the mask
                 nz = (counts > 0.0).astype(jnp.int32)
                 kk = lane_iota % GROUP
-                in_g = lane_iota // GROUP == g
                 pw = jnp.left_shift(jnp.int32(1), kk % 16)
-                w_lo = jnp.where(in_g & (kk < 16), pw, 0)
-                w_hi = jnp.where(in_g & (kk >= 16), pw, 0)
-                bits_lo = jnp.sum(nz * w_lo)
-                bits_hi = jnp.sum(nz * w_hi)
-                bits0 = bits_lo | (bits_hi << 16)
+                for j in range(REFRESH):
+                    g = gr * REFRESH + j
+                    in_g = lane_iota // GROUP == g
+                    w_lo = jnp.where(in_g & (kk < 16), pw, 0)
+                    w_hi = jnp.where(in_g & (kk >= 16), pw, 0)
+                    bits_lo = jnp.sum(nz * w_lo)
+                    bits_hi = jnp.sum(nz * w_hi)
+                    bits0 = bits_lo | (bits_hi << 16)
 
-                def wbody(b):
-                    low = b & (-b)
-                    # bit index of the isolated bit via 5 mask tests
-                    # (pure int32 scalar ops — Mosaic has no
-                    # uint32->f32 cast for the float-exponent trick,
-                    # and bit 31 is negative as int32 so signed float
-                    # math corrupts it anyway)
-                    k = jnp.int32(0)
-                    for shift, m in ((4, -65536),            # 0xFFFF0000
-                                     (3, -16711936),         # 0xFF00FF00
-                                     (2, -252645136),        # 0xF0F0F0F0
-                                     (1, -858993460),        # 0xCCCCCCCC
-                                     (0, -1431655766)):      # 0xAAAAAAAA
-                        k = k | (
-                            ((low & jnp.int32(m)) != 0).astype(jnp.int32)
-                            << shift
-                        )
-                    _visit(base, g * GROUP + k)
-                    return b & (b - 1)
+                    def wbody(b, g=g):
+                        low = b & (-b)
+                        # bit index of the isolated bit via 5 mask tests
+                        # (pure int32 scalar ops — Mosaic has no
+                        # uint32->f32 cast for the float-exponent trick,
+                        # and bit 31 is negative as int32 so signed float
+                        # math corrupts it anyway)
+                        k = jnp.int32(0)
+                        for shift, m in ((4, -65536),        # 0xFFFF0000
+                                         (3, -16711936),     # 0xFF00FF00
+                                         (2, -252645136),    # 0xF0F0F0F0
+                                         (1, -858993460),    # 0xCCCCCCCC
+                                         (0, -1431655766)):  # 0xAAAAAAAA
+                            k = k | (
+                                ((low & jnp.int32(m)) != 0).astype(jnp.int32)
+                                << shift
+                            )
+                        _visit(base, g * GROUP + k)
+                        return b & (b - 1)
 
-                jax.lax.while_loop(lambda b: b != 0, wbody, bits0)
+                    jax.lax.while_loop(lambda b: b != 0, wbody, bits0)
                 return 0
 
+            g = gr  # non-bitmask path: one group per iteration
+            cand = (
+                hit_geo
+                & (tn < best_ref[:, 0:1])
+                & (lane_iota // GROUP == g)
+            )
             counts_col = jax.lax.dot_general(
                 cand.astype(jnp.float32), sub_sel, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -474,7 +526,11 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
 
             jax.lax.fori_loop(0, GROUP, inner, 0)
 
-        jax.lax.fori_loop(0, CHUNK // GROUP, group_body, 0)
+        if NSUB == 1 and BITMASK_NARROW and not DIAG_NO_NARROW:
+            jax.lax.fori_loop(0, CHUNK // (GROUP * REFRESH), group_body, 0)
+        else:
+            assert REFRESH == 1, "REFRESH>1 needs the bitmask narrow phase"
+            jax.lax.fori_loop(0, CHUNK // GROUP, group_body, 0)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
@@ -519,15 +575,44 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
     )
 
 
+def _origin_mt_table(tri, origin):
+    """Precomputed shared-origin MT table (12, C*B) from the cluster tri
+    table [v0 | e1 | e2 | pid | ...] and one origin point (3,).
+
+    Rows: n = e2 x e1 (0:3), s = e2 x T (3:6), q = T x e1 (6:9),
+    pid (9), tconst = e2 . q (10) — with T = origin - v0, the kernel's
+    narrow phase becomes det = d.n, u = d.s, v = d.q, t = tconst (all
+    sign-folded), identical up to rounding to the generic MT."""
+    v0 = tri[0:3]
+    e1 = tri[3:6]
+    e2 = tri[6:9]
+    pid = tri[9:10]
+    tv = origin[:, None] - v0
+
+    def cross(a, b):
+        return jnp.stack([
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ])
+
+    n = cross(e2, e1)
+    s = cross(e2, tv)
+    q = cross(tv, e1)
+    tconst = jnp.sum(e2 * q, axis=0, keepdims=True)
+    pad = jnp.zeros((1, tri.shape[1]), jnp.float32)
+    return jnp.concatenate([n, s, q, pid, tconst, pad], axis=0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_clusters", "block", "want_attr", "interpret", "tile",
-                     "planar_out", "planar_in"),
+                     "planar_out", "planar_in", "origin_mt"),
 )
 def _run_kernel(rays, cb_sorted, sb_sorted, order_t, tri, attr, mt,
                 n_clusters: int, block: int, want_attr: bool,
                 interpret: bool, tile: int = TILE, planar_out: bool = False,
-                planar_in: bool = False):
+                planar_in: bool = False, origin_mt: bool = False):
     # the narrow phase slices tri_ref at cid*block with a multiple_of(128)
     # hint; a block below 128 would misalign the slice and read the wrong
     # triangles (measured: BLOCK=64 silently changes the render —
@@ -562,7 +647,7 @@ def _run_kernel(rays, cb_sorted, sb_sorted, order_t, tri, attr, mt,
         functools.partial(
             _kernel, n_clusters=n_clusters, n_supers_pad=n_supers_pad,
             block=block, want_attr=want_attr, planar_out=planar_out,
-            planar_in=planar_in,
+            planar_in=planar_in, origin_mt=origin_mt,
         ),
         grid=(grid,),
         in_specs=[
@@ -798,10 +883,14 @@ def trace_clustered(
     # kernel input: full-array inputs are VMEM-resident (~29 MB on the
     # 100k scene) whether read or not
     mt = scene.cluster_mt if MT_MXU else scene.cluster_mt[:, :4 * block]
+    origin_mt = (ORIGIN_MT and shared_origin is not None and not MT_MXU)
+    if origin_mt:
+        tri = _origin_mt_table(tri, shared_origin)
     out = _run_kernel(
         rays, cb_sorted, sb_sorted, order_t, tri, attr, mt,
         n_clusters, block, want_attr, interpret, tile,
         planar_out=not sort_rays, planar_in=not sort_rays,
+        origin_mt=origin_mt,
     )
     if sort_rays:
         inv = jnp.zeros((n_pad,), jnp.int32).at[order].set(
