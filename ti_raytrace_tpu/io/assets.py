@@ -2,8 +2,9 @@
 
 Looks for scene assets (OBJ models, spectral CSVs, sky tables, images) in:
   1. $TIRAY_ASSETS if set
-  2. <repo>/assets
-  3. /root/reference  (the mounted read-only reference data, if present)
+  2. <repo>/assets  (populated by tools/vendor_assets.py — self-contained)
+  3. /root/reference  (the mounted read-only reference data, if present;
+     disabled by TIRAY_NO_REFERENCE=1 to prove self-containedness)
 """
 
 import os
@@ -19,7 +20,8 @@ def asset_path(rel: str) -> str:
     if env:
         roots.append(env)
     roots.append(_REPO_ASSETS)
-    roots.append(_REFERENCE)
+    if not os.environ.get("TIRAY_NO_REFERENCE"):
+        roots.append(_REFERENCE)
     for root in roots:
         p = os.path.join(root, rel)
         if os.path.exists(p):

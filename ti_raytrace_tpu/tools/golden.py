@@ -22,7 +22,6 @@ import time
 
 import numpy as np
 
-REFERENCE = "/root/reference"
 BOUNDS_PATH = os.path.join(os.path.dirname(__file__), "golden_bounds.json")
 
 # name -> (scene, integrator override, reference image, frames)
@@ -71,9 +70,10 @@ def render_scene(name: str, frames: int, size: int = 512,
 
 
 def load_reference(rel: str) -> np.ndarray:
+    from ti_raytrace_tpu.io.assets import asset_path
     from ti_raytrace_tpu.io.image import read_image
 
-    return read_image(os.path.join(REFERENCE, rel))
+    return read_image(asset_path(rel))
 
 
 def mean_abs_diff(img: np.ndarray, ref: np.ndarray) -> float:
@@ -111,8 +111,11 @@ def main(argv=None):
     results, failures = {}, []
     for name in names:
         scene_name, integrator, rel, frames = TARGETS[name]
-        ref_path = os.path.join(REFERENCE, rel)
-        if not os.path.exists(ref_path):
+        try:
+            from ti_raytrace_tpu.io.assets import asset_path
+
+            asset_path(rel)
+        except FileNotFoundError:
             log(f"{name}: reference image {rel} missing, skipped")
             continue
         img = render_scene(scene_name, args.frames or frames, args.size,
