@@ -175,20 +175,30 @@ def ray_directions_morton(spec: CameraSpec, cam: CameraState, frame,
     a real 2.5 ms/frame — scripts/exp_r4h.py.)  Returns PLANAR (3, N),
     unlike ray_directions' (N, 3)."""
     W, H = spec.width, spec.height
-    N = W * H
     perm, _ = morton_pixel_order(W, H)
     px = jnp.asarray((perm // H).astype(np.float32))
     py = jnp.asarray((perm % H).astype(np.float32))
-    jit = jax.random.uniform(key, (2, N), dtype=jnp.float32) - 0.5
+    return ray_directions_from_pixels(spec, cam, frame, key, px, py)
+
+
+def ray_directions_from_pixels(spec: CameraSpec, cam: CameraState, frame,
+                               key, px, py) -> jnp.ndarray:
+    """Planar (3, n) primary directions for an arbitrary pixel-coordinate
+    list (px, py) — the lane-sliceable core of ray_directions_morton.
+    The sharded production renderer feeds each device its own morton
+    lane slice (parallel/shard.py), so ray generation never materializes
+    the full film on one device."""
+    n = px.shape[0]
+    jit = jax.random.uniform(key, (2, n), dtype=jnp.float32) - 0.5
     on = (jnp.asarray(frame) != 0).astype(jnp.float32)
-    x = (px + jit[0] * on - spec.cx) / spec.fx  # (N,)
+    x = (px + jit[0] * on - spec.cx) / spec.fx  # (n,)
     y = (py + jit[1] * on - spec.cy) / spec.fy
     r3 = cam.view_inv[:3, :3]
     dw = (
         r3[:, 0:1] * x[None, :]
         + r3[:, 1:2] * y[None, :]
         - r3[:, 2:3]
-    )                                           # (3, N) planar
+    )                                           # (3, n) planar
     inv_len = jax.lax.rsqrt(dw[0] * dw[0] + dw[1] * dw[1] + dw[2] * dw[2])
     return dw * inv_len[None, :]
 

@@ -392,6 +392,13 @@ def _new_accum(n):
     return jnp.zeros((3, n), jnp.float32), jnp.zeros((6, n), jnp.float32)
 
 
+def _phase_width(n: int, dv: int) -> int:
+    """Compacted-phase width: n/dv with a 1024-lane floor (tiny widths
+    under-fill even one kernel tile), clamped to n (lane SHARDS of the
+    multi-device path can be smaller than the floor)."""
+    return min(n, max(1024, n // dv))
+
+
 def _compact(carry, new_n: int):
     """Shrink the wavefront to its live lanes (alive-first stable sort +
     static slice).  Capacity overflow (more live lanes than new_n) kills
@@ -562,7 +569,7 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
     # static phase schedule: (start, end, width)
     starts = [0] + [s for s, _ in compaction]
     ends = [s for s, _ in compaction] + [max_depth]
-    widths = [N] + [max(1024, N // dv) for _, dv in compaction]
+    widths = [N] + [_phase_width(N, dv) for _, dv in compaction]
 
     for phase, (b0, b1, width) in enumerate(zip(starts, ends, widths)):
         if b0 >= max_depth:
@@ -673,9 +680,18 @@ def render_film_frames(scene, spec: CameraSpec, cam, film, n_frames: int = 4,
 
 
 def _render_group(scene, spec, cam, frame0, key0, group: int, compaction,
-                  nee: bool, max_depth: int = MAX_DEPTH):
+                  nee: bool, max_depth: int = MAX_DEPTH, gen_rays=None,
+                  lane_space: bool = False, n_lanes: int = None):
     """`group` progressive frames with their compacted deep phases MERGED
     into one wavefront.  Returns (summed (W, H, 3) radiance, overflow).
+
+    gen_rays(frame, k_cam) -> (o, d, coherent) overrides the full-film
+    camera generation — the sharded production path
+    (parallel/shard.render_film_frames_merged_sharded) renders one lane
+    shard per device, so each device generates only its n_lanes rays.
+    lane_space=True returns the summed radiance as planar (3, n_lanes)
+    WITHOUT the raster unpermute (the film then lives in lane space and
+    converts to an image once, outside shard_map).
 
     The per-tile cluster union in the deep phases is intrinsic at a given
     survivor DENSITY (scripts/exp_r3p.py: it cannot be sorted away), but
@@ -695,17 +711,22 @@ def _render_group(scene, spec, cam, frame0, key0, group: int, compaction,
     uniforms; group=1 reduces EXACTLY to the sequential loop).  Lane g*N+p
     belongs to frame g, pixel p; compaction capacity is pooled across the
     group, so a one-frame survivor spike can borrow headroom."""
-    N = spec.width * spec.height
+    N = n_lanes if n_lanes is not None else spec.width * spec.height
     b_merge, dv0 = compaction[0]
-    w1 = max(1024, N // dv0)
+    w1 = _phase_width(N, dv0)
+
+    if gen_rays is None:
+        def gen_rays(frame, k_cam):
+            o, d, inv = _camera_rays(spec, cam, frame, k_cam)
+            return o, d, inv is not None
 
     def prologue(state, g):
         key_f, ov = state
         k_cam, k_path = jax.random.split(key_f)
-        o, d, inv = _camera_rays(spec, cam, frame0 + g, k_cam)
+        o, d, coherent = gen_rays(frame0 + g, k_cam)
         c = _new_carry(o, d)
         c = _bounce(scene, c, jax.random.fold_in(k_path, 0), nee, False,
-                    False, shared_origin=o[:, 0], coherent=inv is not None)
+                    False, shared_origin=o[:, 0], coherent=coherent)
         for depth in range(1, b_merge):
             c = _bounce(scene, c, jax.random.fold_in(k_path, depth), nee,
                         False)
@@ -737,7 +758,7 @@ def _render_group(scene, spec, cam, frame0, key0, group: int, compaction,
         b1 = min(b1, max_depth)
         if i > 0:
             carry, accum_full = _flush(carry, accum_full, scene=scene)
-            carry, ovg = _compact(carry, group * max(1024, N // dv))
+            carry, ovg = _compact(carry, group * _phase_width(N, dv))
             overflow = overflow + ovg
 
         carry = _while_bounces(scene, carry, k_merge, b0, b1, nee,
@@ -751,6 +772,8 @@ def _render_group(scene, spec, cam, frame0, key0, group: int, compaction,
         missed[None], env * acc_miss[3:6], 0.0
     )
     img_sum = radiance.reshape(3, group, N).sum(axis=1)
+    if lane_space:
+        return img_sum, overflow
     if MORTON_CAMERA:
         from ti_raytrace_tpu.camera import morton_pixel_order
 

@@ -22,6 +22,7 @@ frame up to splat summation order.
 """
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -77,6 +78,141 @@ def render_frame_sharded(render_paths_fn, scene, spec, cam, frame, key, mesh: Me
 
     radiance = _run(scene, o, d, k_path)
     return jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)
+
+
+class LaneFilm(NamedTuple):
+    """Progressive film in morton LANE space, planar (3, N).
+
+    The production renderer generates camera rays in static morton pixel
+    order (pt_rgb.MORTON_CAMERA) and the sharded variant keeps the whole
+    pipeline — rays, wavefront, flush, accumulation — in that lane order,
+    sharded along the lane axis.  Converting to a raster image needs one
+    cross-shard unpermute (`lane_film_image`), which runs once per
+    save/display, never per dispatch."""
+    hdr: jnp.ndarray    # (3, N) running-mean radiance, lane order
+    frame: jnp.ndarray  # () int32
+    key: jnp.ndarray    # PRNG key for the next frame
+
+
+def new_lane_film(spec, mesh: Mesh = None, seed: int = 0) -> LaneFilm:
+    n = spec.width * spec.height
+    hdr = jnp.zeros((3, n), jnp.float32)
+    if mesh is not None:
+        hdr = jax.device_put(hdr, NamedSharding(mesh, P(None, AXIS)))
+    return LaneFilm(hdr=hdr, frame=jnp.zeros((), jnp.int32),
+                    key=jax.random.PRNGKey(seed))
+
+
+def lane_film_image(fl: LaneFilm, spec) -> jnp.ndarray:
+    """Lane-space film -> (W, H, 3) raster image (one global unpermute)."""
+    from ti_raytrace_tpu.camera import morton_pixel_order
+    from ti_raytrace_tpu.integrators.pt_rgb import _to_raster
+
+    _, inv = morton_pixel_order(spec.width, spec.height)
+    img = _to_raster(fl.hdr, jnp.asarray(inv))
+    return jnp.swapaxes(img, 0, 1).reshape(spec.width, spec.height, 3)
+
+
+def _merged_lane_shard(scene, spec, cam, hdr, frame0, key0, shard_idx,
+                       px, py, n_frames: int, group: int, compaction,
+                       nee: bool):
+    """One device's share of a merged multi-frame dispatch: renders the
+    morton lane slice (px, py) of every frame in `n_frames`, accumulating
+    into the (3, n_local) hdr shard.  Factored out of the shard_map body
+    so the equivalence test can run the exact same computation shard by
+    shard on one device (the mirror discipline of test_render.py's
+    sharded-BDPT proof).
+
+    RNG: the film's global key chain is device-independent (frame/key
+    advance exactly as in pt_rgb.render_film_frames_merged); each group's
+    render key is fold_in(film_key, shard_idx), so shards draw
+    decorrelated camera jitter and path uniforms."""
+    from ti_raytrace_tpu import film as film_mod
+    from ti_raytrace_tpu.camera import ray_directions_from_pixels
+    from ti_raytrace_tpu.integrators import pt_rgb
+
+    ns = px.shape[0]
+
+    def gen_rays(frame, k_cam):
+        o = jnp.broadcast_to(cam.eye[:, None], (3, ns))
+        d = ray_directions_from_pixels(spec, cam, frame, k_cam, px, py)
+        return o, d, True  # contiguous morton slice -> coherent tiles
+
+    def gbody(_, state):
+        hdr_, frame_, key_, ov_total = state
+        rad_sum, ov = pt_rgb._render_group(
+            scene, spec, cam, frame_, jax.random.fold_in(key_, shard_idx),
+            group, tuple(compaction), nee,
+            gen_rays=gen_rays, lane_space=True, n_lanes=ns,
+        )
+        # accumulate_group on the lane shard (same running-mean algebra)
+        f = frame_.astype(jnp.float32)
+        hdr_ = (hdr_ * f + rad_sum) / (f + group)
+        for _ in range(group):
+            key_, _ = jax.random.split(key_)
+        return hdr_, frame_ + group, key_, ov_total + ov
+
+    hdr, frame, key, overflow = jax.lax.fori_loop(
+        0, n_frames // group, gbody,
+        (hdr, frame0, key0, jnp.int32(0)),
+    )
+    return hdr, frame, key, overflow
+
+
+@partial(jax.jit,
+         static_argnames=("spec", "n_frames", "group", "compaction", "nee",
+                          "mesh"),
+         donate_argnums=(3,))
+def render_film_frames_merged_sharded(scene, spec, cam, fl: LaneFilm,
+                                      n_frames: int, group: int,
+                                      compaction, nee: bool, mesh: Mesh):
+    """The PRODUCTION render path (merged groups + compaction + morton
+    camera, pt_rgb.render_film_frames_merged) over a device mesh.
+
+    Each device renders its contiguous morton lane slice of every frame:
+    scene replicated, wavefront/film lane-sharded, zero collectives in
+    the loop (path tracing is per-pixel; the only cross-device op is the
+    unpermute in lane_film_image at save time).  Compaction runs
+    per-device on the local slice — capacity pools across the group's
+    frames exactly as on one chip.
+
+    Returns (LaneFilm', overflow_kills_total)."""
+    from ti_raytrace_tpu.camera import morton_pixel_order
+
+    import numpy as np
+
+    assert compaction, "merged rendering requires a compaction schedule"
+    assert n_frames % group == 0, (n_frames, group)
+    W, H = spec.width, spec.height
+    perm, _ = morton_pixel_order(W, H)
+    px = jnp.asarray((perm // H).astype(np.float32))
+    py = jnp.asarray((perm % H).astype(np.float32))
+
+    scene_specs = jax.tree.map(lambda _: P(), scene)
+    cam_specs = jax.tree.map(lambda _: P(), cam)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(scene_specs, cam_specs, P(None, AXIS), P(), P(),
+                  P(AXIS), P(AXIS)),
+        out_specs=(P(None, AXIS), P(), P(), P()),
+        check_vma=False,
+    )
+    def _run(scene_, cam_, hdr_, frame_, key_, px_, py_):
+        my = jax.lax.axis_index(AXIS)
+        hdr2, frame2, key2, ov = _merged_lane_shard(
+            scene_, spec, cam_, hdr_, frame_, key_, my, px_, py_,
+            n_frames, group, compaction, nee,
+        )
+        # frame/key advance identically on every device; overflow is the
+        # global kill count (the estimator-bias telemetry)
+        ov = jax.lax.psum(ov, AXIS)
+        return hdr2, frame2, key2, ov
+
+    hdr, frame, key, overflow = _run(scene, cam, fl.hdr, fl.frame, fl.key,
+                                     px, py)
+    return LaneFilm(hdr=hdr, frame=frame, key=key), overflow
 
 
 def render_bdpt_frame_sharded(scene, spec, cam, frame, key, mesh: Mesh,
