@@ -63,6 +63,9 @@ def main(argv=None):
     ap.add_argument("--snapshot-every", type=int, default=64)
     ap.add_argument("--checkpoint", default=None, help="save/resume .npz path")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--preview", action="store_true",
+                    help="live window + orbit keys (arrows/+-/q); moving "
+                         "the camera restarts progressive accumulation")
     args = ap.parse_args(argv)
 
     scene, cfg = EXAMPLES[args.example]()
@@ -83,6 +86,17 @@ def main(argv=None):
         except FileNotFoundError:
             pass
 
+    preview = None
+    if args.preview:
+        import numpy as np
+
+        from ti_raytrace_tpu.examples.preview import OrbitRig, PygamePreview
+        from ti_raytrace_tpu.examples.scenes import framing_params
+
+        rig = OrbitRig(*framing_params(scene, cfg))
+        cam = rig.camera()
+        preview = PygamePreview(rig, args.size, args.size, cfg.name)
+
     meter = RenderMeter(spec.width * spec.height)
     while int(fl.frame) < args.frames:
         t0 = time.perf_counter()
@@ -91,11 +105,26 @@ def main(argv=None):
         fl.hdr.block_until_ready()
         meter.tick(time.perf_counter() - t0)
         f = int(fl.frame)
+        if preview is not None:
+            srgb = film_mod.to_srgb(fl, exposure=cfg.exposure)
+            preview.show(np.asarray(srgb * 255.0, dtype=np.uint8))
+            action = preview.poll()
+            if action == "quit":
+                break
+            if action == "camera":
+                # same semantics as the reference's cam_is_dirty reset
+                # (Camera.py:70-79): orbit moves restart accumulation
+                cam = rig.camera()
+                fl = film_mod.new_film(args.size, args.size, seed=args.seed)
+                continue
         if f % args.snapshot_every == 0 or f == args.frames:
             film_mod.save_png(fl, args.out, exposure=cfg.exposure)
             if args.checkpoint:
                 film_mod.save_checkpoint(fl, args.checkpoint)
             print(f"frame {f}/{args.frames}  {meter.summary()}")
+
+    if preview is not None:
+        preview.close()
 
     film_mod.save_png(fl, args.out, exposure=cfg.exposure)
     print(json.dumps(meter.report()))

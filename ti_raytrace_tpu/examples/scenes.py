@@ -235,16 +235,21 @@ EXAMPLES = {
 }
 
 
+def framing_params(scene, cfg: ExampleConfig):
+    """The example's framing rule as orbit-rig parameters
+    (target, yaw, pitch, scale) — cornell_box.py:26-30 etc."""
+    if cfg.fixed_scale is not None:
+        target = np.asarray(cfg.fixed_target or (0.0, 0.0, 0.0))
+        return target, cfg.yaw, cfg.pitch, cfg.fixed_scale
+    lo = np.asarray(scene.aabb_min)
+    hi = np.asarray(scene.aabb_max)
+    centre = 0.5 * (lo + hi)
+    scale = float(np.linalg.norm(hi - lo)) * cfg.scale_mult
+    return centre, cfg.yaw, cfg.pitch, scale
+
+
 def make_camera(scene, cfg: ExampleConfig, width: int, height: int):
     """Apply the example's framing rule (cornell_box.py:26-30 etc.)."""
     spec = CameraSpec(width, height)
-    if cfg.fixed_scale is not None:
-        target = np.asarray(cfg.fixed_target or (0.0, 0.0, 0.0))
-        state = orbit_camera(target, cfg.yaw, cfg.pitch, cfg.fixed_scale)
-    else:
-        lo = np.asarray(scene.aabb_min)
-        hi = np.asarray(scene.aabb_max)
-        centre = 0.5 * (lo + hi)
-        scale = float(np.linalg.norm(hi - lo)) * cfg.scale_mult
-        state = orbit_camera(centre, cfg.yaw, cfg.pitch, scale)
-    return spec, state
+    target, yaw, pitch, scale = framing_params(scene, cfg)
+    return spec, orbit_camera(target, yaw, pitch, scale)
