@@ -84,18 +84,34 @@ MT_MXU = False   # narrow phase as ONE (TILE,16)@(16,4B) MXU matmul per
 BITMASK_NARROW = True    # narrow phase iterates set bits of a per-group
                          # candidate bitmask instead of GROUP scalar
                          # read+branch iterations (A/B: exp_r4g.py)
-REFRESH = 1      # groups per candidate refresh (BITMASK_NARROW only):
+REFRESH = 4      # groups per candidate refresh (BITMASK_NARROW only):
                  # the (tn < best) candidate mask + counts matmul run once
                  # per REFRESH groups instead of per group.  Coarser
                  # refresh = fewer broad-phase MXU dots per chunk but
                  # less front-to-back pruning (a candidate SUPERSET —
                  # the narrow phase is exact either way, so renders are
-                 # bit-identical at any value).
-ATTR_HIGH = False  # attr one-hot extraction at Precision.HIGH (3 MXU
-                   # passes) instead of HIGHEST (6).  bf16x3 covers a
-                   # full f32 mantissa (v1+v2+v3 spans 24 bits), so a
-                   # 0/1-one-hot x f32-value product should stay exact;
-                   # gate on the tpu_smoke bit-identity check.
+                 # bit-identical at any value).  Measured (exp_r6a,
+                 # in-process, 100k bench): 1/2/4 = 41.8/40.4/38.5
+                 # ms/frame, renders BIT-IDENTICAL — 4 (one refresh per
+                 # chunk, the max at CHUNK/GROUP=4) is production.
+ATTR_HIGH = False  # attr one-hot extraction at Precision.HIGH: DOES NOT
+                   # LOWER — Mosaic's dot rejects Precision.HIGH (only
+                   # DEFAULT/HIGHEST); kept as the record.  The working
+                   # version of the idea is ATTR_SPLIT3 below.
+ATTR_SPLIT3 = False  # attr one-hot extraction against the bf16x3 split
+                     # table scene.cluster_attr3 (B, 3A): ONE
+                     # default-precision bf16 MXU pass + a 3-way column-
+                     # group add, instead of HIGHEST's 6 passes over the
+                     # f32 table.  EXACT (tpu_smoke bit-exact, oracle
+                     # tests pass; the one-hot is 0/1 and
+                     # a1+a2+a3 == attr bit for bit, scene/data
+                     # ._attr_split3) but a measured LOSS on the 100k
+                     # bench: 39.7 vs 38.5 ms/frame, renders
+                     # BIT-IDENTICAL (scripts/exp_r6b.py) — the attr dot
+                     # is MXU-latency-bound per visit, not pass-count-
+                     # bound, and the wider bf16 operand + 3-way add
+                     # cost more than the 5 saved passes.  Kept as the
+                     # measured record.
 PER_TILE_ORDER = True    # False: shared static cluster order for all tiles
 DIAG_NO_NARROW = False   # DIAGNOSTIC ONLY: skip the narrow phase to time
                          # the broad phase + fixed overhead (renders miss
@@ -416,15 +432,27 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
             best_ref[r, 3:4] = jnp.where(closer, v_win,
                                          best_ref[r, 3:4])
 
-            if want_attr:
+            if want_attr and ATTR_SPLIT3:
+                ab = attr_ref[pl.ds(tbase, block), :]   # (B, 3A) bf16
+                prod = jax.lax.dot_general(
+                    onehot.astype(jnp.bfloat16), ab,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                       # (H, 3A)
+                attr_win = (prod[:, 0:ATTR_ROWS]
+                            + prod[:, ATTR_ROWS:2 * ATTR_ROWS]
+                            + prod[:, 2 * ATTR_ROWS:3 * ATTR_ROWS])
+                battr_ref[r, :] = jnp.where(
+                    closer, attr_win, battr_ref[r, :]
+                )
+            elif want_attr:
                 ab = attr_ref[pl.ds(tbase, block), :]   # (B, A)
                 # HIGHEST: the MXU's default bf16 passes would
                 # round the extracted attributes
                 attr_win = jax.lax.dot_general(
                     onehot, ab, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=(jax.lax.Precision.HIGH if ATTR_HIGH
-                               else jax.lax.Precision.HIGHEST),
+                    precision=jax.lax.Precision.HIGHEST,
                 )                                       # (H, A)
                 battr_ref[r, :] = jnp.where(
                     closer, attr_win, battr_ref[r, :]
@@ -849,7 +877,7 @@ def trace_clustered(
 
     cb = scene.cluster_bounds
     tri = scene.cluster_tri
-    attr = scene.cluster_attr
+    attr = scene.cluster_attr3 if ATTR_SPLIT3 else scene.cluster_attr
     n_clusters = int(cb.shape[1])
     block = int(tri.shape[1]) // n_clusters
 
