@@ -158,3 +158,14 @@ def test_cluster_flag_variants_match(sphere_scene, monkeypatch, flag):
         assert (hit == (t1 < 1e5)).all()
         mismatch = hit & (prim0 != prim1)
         assert mismatch.mean() < 0.02
+
+
+def test_attr_split3_exact(sphere_scene):
+    """The bf16x3 decomposition must reproduce the f32 attr table bit for
+    bit — the ATTR_SPLIT3 kernel path's exactness precondition."""
+    a3 = np.asarray(sphere_scene.cluster_attr3, dtype=np.float32)
+    A = sphere_scene.cluster_attr.shape[1]
+    rebuilt = a3[:, 0:A] + a3[:, A:2 * A] + a3[:, 2 * A:3 * A]
+    np.testing.assert_array_equal(
+        rebuilt, np.asarray(sphere_scene.cluster_attr)
+    )

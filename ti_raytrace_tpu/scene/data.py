@@ -75,6 +75,12 @@ class SceneData(NamedTuple):
     cluster_tri: jnp.ndarray     # (12, C*B) f32 planar triangle blocks
     cluster_attr: jnp.ndarray    # (C*B, A) f32 prim_attr in cluster order
     cluster_mt: jnp.ndarray      # (16, C*4B) f32 matmul-form MT table
+    cluster_attr3: jnp.ndarray   # (C*B, 3A) bf16 [a1|a2|a3] split of
+    #   cluster_attr: a1+a2+a3 == cluster_attr EXACTLY (3x8 significand
+    #   bits cover f32's 24), so the kernel's one-hot attr extraction
+    #   runs ONE default-precision bf16 MXU pass instead of HIGHEST's 6
+    #   (ops/cluster_trace.ATTR_SPLIT3).  Derived in device_scene — not
+    #   part of the host npz cache format.
 
     # --- global ------------------------------------------------------
     aabb_min: jnp.ndarray      # (3,) f32 scene bounds
@@ -95,6 +101,21 @@ class SceneData(NamedTuple):
     @property
     def n_nodes(self) -> int:
         return int(self.bvh_prim.shape[0])
+
+
+def _attr_split3(attr: np.ndarray) -> np.ndarray:
+    """Exact bf16x3 decomposition of the f32 attr table, columns
+    [a1 | a2 | a3] with a1+a2+a3 == attr bit for bit (verified by
+    tests/test_cluster.py::test_attr_split3_exact)."""
+    import ml_dtypes
+
+    bf = ml_dtypes.bfloat16
+    a = np.asarray(attr, np.float32)
+    a1 = a.astype(bf)
+    r1 = a - a1.astype(np.float32)
+    a2 = r1.astype(bf)
+    a3 = (r1 - a2.astype(np.float32)).astype(bf)
+    return np.concatenate([a1, a2, a3], axis=1)
 
 
 def device_scene(host: dict) -> SceneData:
@@ -134,6 +155,7 @@ def device_scene(host: dict) -> SceneData:
         cluster_tri=arr(host["cluster_tri"], jnp.float32),
         cluster_attr=arr(host["cluster_attr"], jnp.float32),
         cluster_mt=arr(host["cluster_mt"], jnp.float32),
+        cluster_attr3=arr(_attr_split3(host["cluster_attr"]), jnp.bfloat16),
         aabb_min=arr(host["aabb_min"], jnp.float32),
         aabb_max=arr(host["aabb_max"], jnp.float32),
     )
