@@ -37,7 +37,7 @@ def get_integrator(name: str, cfg_sky=None, compaction=None, scene=None):
         from ti_raytrace_tpu.integrators import pt_spec
 
         sky = cfg_sky or {}
-        return pt_spec.make_render_frame(**sky)
+        return pt_spec.make_render_frame(**sky, compaction=compaction)
     if name == "bdpt_rgb":
         import functools
 
