@@ -1,0 +1,78 @@
+"""Fresh frame anatomy at the CURRENT production config (KF=32, G=16,
+REFRESH=4, ~38.5 ms/frame): jax.profiler trace of one warm merged
+dispatch, aggregated per fusion by scripts/xplane.py.
+
+    python scripts/exp_r6c.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from ti_raytrace_tpu.core.tpu_env import fix_stale_platform, wait_for_device
+
+fix_stale_platform()
+
+import jax
+
+wait_for_device()
+
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join("/root/repo", ".cache", "jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+from functools import partial
+
+import numpy as np
+
+from ti_raytrace_tpu import film as film_mod
+from ti_raytrace_tpu.camera import CameraSpec, orbit_camera
+from ti_raytrace_tpu.examples.scenes import BENCH_SCHEDULE_MERGED, benchmark_100k
+from ti_raytrace_tpu.integrators import pt_rgb
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    size = 512
+    scene, _ = benchmark_100k()
+    lo = np.asarray(scene.aabb_min)
+    hi = np.asarray(scene.aabb_max)
+    centre = 0.5 * (lo + hi)
+    scale = float(np.linalg.norm(hi - lo)) * 0.8
+    spec = CameraSpec(size, size)
+    cam = orbit_camera(centre, 0.0, 0.0, scale)
+    nee = pt_rgb.has_nee_materials(scene)
+    KF, G = 32, 16
+    raw = pt_rgb.render_film_frames_merged.__wrapped__
+    step = jax.jit(
+        partial(raw, n_frames=KF, group=G,
+                compaction=BENCH_SCHEDULE_MERGED, nee=nee),
+        static_argnums=(1,), donate_argnums=(3,),
+    )
+    fl = film_mod.new_film(size, size)
+    t0 = time.time()
+    fl, ov = step(scene, spec, cam, fl)
+    fl.hdr.block_until_ready()
+    log(f"compile+first {time.time()-t0:.1f}s")
+    t0 = time.perf_counter()
+    fl, _ = step(scene, spec, cam, fl)
+    fl.hdr.block_until_ready()
+    log(f"warm dispatch {(time.perf_counter()-t0)/KF*1e3:.1f} ms/frame")
+
+    trace_dir = "/tmp/jaxtrace_r6c"
+    with jax.profiler.trace(trace_dir):
+        fl, _ = step(scene, spec, cam, fl)
+        fl.hdr.block_until_ready()
+    log(f"trace written to {trace_dir}")
+
+
+if __name__ == "__main__":
+    main()

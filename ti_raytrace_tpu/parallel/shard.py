@@ -80,6 +80,103 @@ def render_frame_sharded(render_paths_fn, scene, spec, cam, frame, key, mesh: Me
     return jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)
 
 
+def render_frame_spec_sharded(scene, sdata, spec, cam, frame, key,
+                              mesh: Mesh, compaction=None):
+    """One hero-wavelength spectral PT frame over the mesh
+    (pt_spec.trace_paths_spec per lane shard; VERDICT r3 #3).
+
+    Same discipline as render_frame_sharded: scene + spectral tables
+    replicated, wavefront sharded along lanes, zero collectives (the
+    spectral splat is per-pixel).  Per-shard RNG is fold_in(key, shard)
+    so hero-lambda draws decorrelate across devices."""
+    from ti_raytrace_tpu.camera import ray_directions, ray_origins
+    from ti_raytrace_tpu.integrators.pt_spec import trace_paths_spec
+
+    k_cam, k_path = jax.random.split(key)
+    o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
+    d = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
+
+    scene_specs = jax.tree.map(lambda _: P(), scene)
+    sdata_specs = jax.tree.map(lambda _: P(), sdata)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(scene_specs, sdata_specs, P(None, AXIS), P(None, AXIS),
+                  P()),
+        out_specs=P(None, AXIS),
+        check_vma=False,
+    )
+    def _run(scene_, sdata_, o_, d_, key_):
+        my = jax.lax.axis_index(AXIS)
+        return trace_paths_spec(scene_, sdata_, o_, d_,
+                                jax.random.fold_in(key_, my),
+                                compaction=compaction)
+
+    radiance = _run(scene, sdata, o, d, k_path)
+    return jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)
+
+
+def render_bdpt_spec_frame_sharded(scene, spec, cam, frame, key, mesh: Mesh,
+                                   emitter_scale: float = 1.0,
+                                   strategies=None, max_depth=None):
+    """One single-wavelength spectral BDPT frame over the mesh
+    (bdpt_spec's machinery under shard_map; VERDICT r3 #3).
+
+    Identical structure to render_bdpt_frame_sharded — eye pixels
+    sharded, light splats psum-reduced — with a per-shard SpecCtx drawn
+    from fold_in(k_lam, shard) so each device's wavelengths decorrelate.
+    The scalar spectral radiance converts to sRGB per shard (to_rgb is
+    per-lane)."""
+    from ti_raytrace_tpu.camera import ray_directions, ray_origins
+    from ti_raytrace_tpu.integrators import bdpt_rgb
+    from ti_raytrace_tpu.integrators.bdpt_spec import make_spec_ctx_fn
+
+    if max_depth is None:
+        max_depth = bdpt_rgb.MAX_DEPTH
+    spec_ctx_fn = make_spec_ctx_fn(emitter_scale)
+
+    k_cam, k_lam, k_eye, k_light, k_conn = jax.random.split(key, 5)
+    o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
+    d = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
+
+    scene_specs = jax.tree.map(lambda _: P(), scene)
+    cam_specs = jax.tree.map(lambda _: P(), cam)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(scene_specs, P(None, AXIS), P(None, AXIS), cam_specs,
+                  P(), P(), P(), P()),
+        out_specs=(P(None, AXIS), P()),
+        check_vma=False,
+    )
+    def _run(scene_, o_, d_, cam_, klam, ke, kl, kc):
+        my = jax.lax.axis_index(AXIS)
+        ns = o_.shape[1]
+        ctx = spec_ctx_fn(jax.random.fold_in(klam, my), ns)
+        eye, eye_count = bdpt_rgb.build_eye_path_rays(
+            scene_, o_, d_, jax.random.fold_in(ke, my), ctx,
+            eye_depth=max_depth + 2,
+        )
+        light, light_count = bdpt_rgb.build_light_path(
+            scene_, ns, jax.random.fold_in(kl, my), ctx,
+            light_depth=max_depth + 1,
+        )
+        radiance, splat = bdpt_rgb._connections(
+            scene_, spec, cam_, eye, eye_count, light, light_count,
+            jax.random.fold_in(kc, my), ctx, strategies=strategies,
+            max_depth=max_depth,
+        )
+        radiance = ctx.to_rgb(radiance)
+        splat = jax.lax.psum(splat, AXIS)
+        return radiance, splat
+
+    radiance, splat = _run(scene, o, d, cam, k_lam, k_eye, k_light, k_conn)
+    img = jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)
+    return img + splat
+
+
 class LaneFilm(NamedTuple):
     """Progressive film in morton LANE space, planar (3, N).
 
@@ -115,7 +212,7 @@ def lane_film_image(fl: LaneFilm, spec) -> jnp.ndarray:
 
 def _merged_lane_shard(scene, spec, cam, hdr, frame0, key0, shard_idx,
                        px, py, n_frames: int, group: int, compaction,
-                       nee: bool):
+                       nee: bool, max_depth: int = None):
     """One device's share of a merged multi-frame dispatch: renders the
     morton lane slice (px, py) of every frame in `n_frames`, accumulating
     into the (3, n_local) hdr shard.  Factored out of the shard_map body
@@ -143,6 +240,8 @@ def _merged_lane_shard(scene, spec, cam, hdr, frame0, key0, shard_idx,
         rad_sum, ov = pt_rgb._render_group(
             scene, spec, cam, frame_, jax.random.fold_in(key_, shard_idx),
             group, tuple(compaction), nee,
+            max_depth=(max_depth if max_depth is not None
+                       else pt_rgb.MAX_DEPTH),
             gen_rays=gen_rays, lane_space=True, n_lanes=ns,
         )
         # accumulate_group on the lane shard (same running-mean algebra)
@@ -161,11 +260,12 @@ def _merged_lane_shard(scene, spec, cam, hdr, frame0, key0, shard_idx,
 
 @partial(jax.jit,
          static_argnames=("spec", "n_frames", "group", "compaction", "nee",
-                          "mesh"),
+                          "mesh", "max_depth"),
          donate_argnums=(3,))
 def render_film_frames_merged_sharded(scene, spec, cam, fl: LaneFilm,
                                       n_frames: int, group: int,
-                                      compaction, nee: bool, mesh: Mesh):
+                                      compaction, nee: bool, mesh: Mesh,
+                                      max_depth: int = None):
     """The PRODUCTION render path (merged groups + compaction + morton
     camera, pt_rgb.render_film_frames_merged) over a device mesh.
 
