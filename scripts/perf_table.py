@@ -74,13 +74,19 @@ def measure_scene(name: str, quick: bool):
     spec, cam = make_camera(scene, cfg, SIZE, SIZE)
     integ = cfg.integrator
     n_timed = 2 if quick else 4
+    cfg_compaction = cfg.compaction
+    if cfg_compaction == "auto":
+        from ti_raytrace_tpu.integrators import pt_rgb as _pt
+
+        cfg_compaction = _pt.calibrate_compaction(scene, spec, cam)
+        log(f"{name}: calibrated compaction {cfg_compaction}")
 
     if name == "benchmark_100k":
         from functools import partial
 
         from ti_raytrace_tpu.integrators import pt_rgb
 
-        KF, G = 32, 16
+        KF, G = 64, 16
         step_fn = jax.jit(
             partial(pt_rgb.render_film_frames_merged.__wrapped__,
                     n_frames=KF, group=G, compaction=BENCH_SCHEDULE_MERGED,
@@ -115,8 +121,25 @@ def measure_scene(name: str, quick: bool):
         per_frame = sorted(times)[len(times) // 2] / KF
         return integ, per_frame, compile_s
 
-    # single-frame integrators (pt_rgb scenes, bdpt_rgb, bdpt_spec)
-    render = get_integrator(integ, cfg.sky, cfg.compaction, scene)
+    if integ == "pt_rgb":
+        from ti_raytrace_tpu.integrators import pt_rgb
+
+        KF = 4 if quick else 8
+
+        def step(fl):
+            fl, _ = pt_rgb.render_film_frames(
+                scene, spec, cam, fl, n_frames=KF,
+                compaction=cfg_compaction,
+                nee=pt_rgb.has_nee_materials(scene),
+            )
+            return fl
+
+        compile_s, times = _measure(step, n_timed)
+        per_frame = sorted(times)[len(times) // 2] / KF
+        return integ, per_frame, compile_s
+
+    # single-frame integrators (bdpt_rgb, bdpt_spec)
+    render = get_integrator(integ, cfg.sky, cfg_compaction, scene)
 
     def step(fl):
         return film_mod.accumulate(

@@ -76,7 +76,37 @@ def main(argv=None):
 
         compaction = _pt.calibrate_compaction(scene, spec, cam)
         print(f"calibrated compaction schedule: {compaction}")
-    render = get_integrator(args.integrator or cfg.integrator, cfg.sky, compaction, scene)
+    integ_name = args.integrator or cfg.integrator
+    render = get_integrator(integ_name, cfg.sky, compaction, scene)
+
+    # Multi-frame dispatch for the wavefront PT integrators: the axon
+    # tunnel has a ~30 ms per-dispatch floor, so batching 8 progressive
+    # frames per dispatch nearly triples cornell's CLI frame rate
+    # (90.9 -> ~35 ms/frame measured).  Preview mode keeps single-frame
+    # dispatches (per-frame window updates + orbit response).
+    render_batch = None
+    if integ_name == "pt_rgb":
+        from ti_raytrace_tpu.integrators import pt_rgb
+
+        _nee = pt_rgb.has_nee_materials(scene)
+
+        def render_batch(fl, n):
+            fl, _ = pt_rgb.render_film_frames(
+                scene, spec, cam, fl, n_frames=n, compaction=compaction,
+                nee=_nee,
+            )
+            return fl
+    elif integ_name == "pt_spec":
+        from ti_raytrace_tpu.integrators import pt_spec
+
+        _sdata = pt_spec.make_spectral_data(**(cfg.sky or {}))
+
+        def render_batch(fl, n):
+            fl, _ = pt_spec.render_film_frames_spec(
+                scene, _sdata, spec, cam, fl, n_frames=n,
+                compaction=compaction,
+            )
+            return fl
 
     fl = film_mod.new_film(args.size, args.size, seed=args.seed)
     if args.checkpoint:
@@ -100,10 +130,18 @@ def main(argv=None):
     meter = RenderMeter(spec.width * spec.height)
     while int(fl.frame) < args.frames:
         t0 = time.perf_counter()
-        radiance = render(scene, spec, cam, fl.frame, fl.key)
-        fl = film_mod.accumulate(fl, radiance)
-        fl.hdr.block_until_ready()
-        meter.tick(time.perf_counter() - t0)
+        if render_batch is not None and preview is None:
+            f0 = int(fl.frame)
+            until_snap = args.snapshot_every - (f0 % args.snapshot_every)
+            n = max(1, min(8, args.frames - f0, until_snap))
+            fl = render_batch(fl, n)
+            fl.hdr.block_until_ready()
+            meter.tick(time.perf_counter() - t0, n)
+        else:
+            radiance = render(scene, spec, cam, fl.frame, fl.key)
+            fl = film_mod.accumulate(fl, radiance)
+            fl.hdr.block_until_ready()
+            meter.tick(time.perf_counter() - t0)
         f = int(fl.frame)
         if preview is not None:
             srgb = film_mod.to_srgb(fl, exposure=cfg.exposure)

@@ -18,13 +18,16 @@ class RenderMeter:
         self.last_s = 0.0
         self._warmup_s = None  # first frame includes compile
 
-    def tick(self, seconds: float):
+    def tick(self, seconds: float, frames: int = 1):
+        """Record one dispatch of `frames` progressive frames.  The first
+        dispatch (whatever its frame count) is treated as compile warmup
+        and excluded from the steady-state rate."""
         if self._warmup_s is None:
             self._warmup_s = seconds
             return
-        self.frames += 1
+        self.frames += frames
         self.total_s += seconds
-        self.last_s = seconds
+        self.last_s = seconds / frames
 
     @property
     def fps(self) -> float:
