@@ -98,6 +98,21 @@ ATTR_HIGH = False  # attr one-hot extraction at Precision.HIGH: DOES NOT
                    # LOWER — Mosaic's dot rejects Precision.HIGH (only
                    # DEFAULT/HIGHEST); kept as the record.  The working
                    # version of the idea is ATTR_SPLIT3 below.
+DEFER_ATTR = False   # extract attributes once per IMPROVING cluster
+                     # after the chunk sweep instead of once per visit:
+                     # _visit only sets the cluster's bit in a per-chunk
+                     # SMEM winner mask; a post-loop walks the set bits
+                     # and one-hot-matches the final best prim id
+                     # against each cluster's pid row (globally unique;
+                     # padding rows carry pid -1 + zero attrs).
+                     # BIT-EXACT (interpret A/B, both wavefront regimes)
+                     # but a measured LOSS: 41.8 vs 38.8 ms/frame on the
+                     # 100k bench (scripts/exp_r7b.py, renders
+                     # bit-identical) — the per-visit attr dot is MXU
+                     # work that OVERLAPS the VPU narrow phase, so
+                     # removing it saves nothing, while the deferred
+                     # variant adds one serial (TILE,1) any-reduction +
+                     # SMEM RMW per visit.  Kept as the measured record.
 ATTR_SPLIT3 = False  # attr one-hot extraction against the bf16x3 split
                      # table scene.cluster_attr3 (B, 3A): ONE
                      # default-precision bf16 MXU pass + a 3-way column-
@@ -145,10 +160,27 @@ CHUNKS_COL = VISITED_COL + 1  # diagnostics: cluster-chunks slab-swept
 assert CHUNKS_COL < OUT_W, "PRIM_A grew past the kernel's OUT_W record"
 
 
+def _bit_index(low):
+    """Bit index of an isolated low bit via 5 mask tests (pure int32
+    scalar ops — Mosaic has no uint32->f32 cast for the float-exponent
+    trick, and bit 31 is negative as int32 so signed float math corrupts
+    it anyway)."""
+    k = jnp.int32(0)
+    for shift, m in ((4, -65536),        # 0xFFFF0000
+                     (3, -16711936),     # 0xFF00FF00
+                     (2, -252645136),    # 0xF0F0F0F0
+                     (1, -858993460),    # 0xCCCCCCCC
+                     (0, -1431655766)):  # 0xAAAAAAAA
+        k = k | (
+            ((low & jnp.int32(m)) != 0).astype(jnp.int32) << shift
+        )
+    return k
+
+
 def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
             out_ref, best_ref, battr_ref, counts_ref, scounts_ref, stmin_ref,
-            visited_ref, *, n_clusters, n_supers_pad, block, want_attr,
-            planar_out=False, planar_in=False, origin_mt=False):
+            visited_ref, winners_ref, *, n_clusters, n_supers_pad, block,
+            want_attr, planar_out=False, planar_in=False, origin_mt=False):
     if planar_in:
         # planar (8, tile) ray block: the operand layout then matches the
         # caller's planar wavefront exactly.  Feeding the (N, 8) operand
@@ -195,6 +227,10 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
         battr_ref[:, :] = jnp.zeros_like(battr_ref)
     visited_ref[0] = jnp.int32(0)
     visited_ref[1] = jnp.int32(0)  # chunks slab-swept
+    defer_attr = want_attr and DEFER_ATTR and NSUB == 1
+    if defer_attr:
+        for wi in range((n_clusters // CHUNK) * (CHUNK // 32)):
+            winners_ref[wi] = jnp.int32(0)
 
     n_chunks = n_clusters // CHUNK
     tile = rays_ref.shape[1] if planar_in else rays_ref.shape[0]
@@ -432,7 +468,22 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
             best_ref[r, 3:4] = jnp.where(closer, v_win,
                                          best_ref[r, 3:4])
 
-            if want_attr and ATTR_SPLIT3:
+            if defer_attr:
+                # mark the cluster as improving; the one-hot extraction
+                # runs once per IMPROVING cluster after the chunk loop
+                # (the per-visit HIGHEST matmul dominated narrow-phase
+                # time at 17-62 visits/tile vs ~1-6 improving clusters).
+                # No winner ids are tracked: the winning prim id already
+                # lives in best_ref[:, 1:2] and is globally unique, so
+                # the extraction one-hot is (best_pid == pid row).
+                any_closer = jnp.max(closer.astype(jnp.int32))
+                widx = (base // CHUNK) * (CHUNK // 32) + jj // 32
+                winners_ref[widx] = winners_ref[widx] | jnp.where(
+                    any_closer > 0,
+                    jnp.left_shift(jnp.int32(1), jj % 32),
+                    jnp.int32(0),
+                )
+            elif want_attr and ATTR_SPLIT3:
                 ab = attr_ref[pl.ds(tbase, block), :]   # (B, 3A) bf16
                 prod = jax.lax.dot_general(
                     onehot.astype(jnp.bfloat16), ab,
@@ -496,22 +547,7 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
                     bits0 = bits_lo | (bits_hi << 16)
 
                     def wbody(b, g=g):
-                        low = b & (-b)
-                        # bit index of the isolated bit via 5 mask tests
-                        # (pure int32 scalar ops — Mosaic has no
-                        # uint32->f32 cast for the float-exponent trick,
-                        # and bit 31 is negative as int32 so signed float
-                        # math corrupts it anyway)
-                        k = jnp.int32(0)
-                        for shift, m in ((4, -65536),        # 0xFFFF0000
-                                         (3, -16711936),     # 0xFF00FF00
-                                         (2, -252645136),    # 0xF0F0F0F0
-                                         (1, -858993460),    # 0xCCCCCCCC
-                                         (0, -1431655766)):  # 0xAAAAAAAA
-                            k = k | (
-                                ((low & jnp.int32(m)) != 0).astype(jnp.int32)
-                                << shift
-                            )
+                        k = _bit_index(b & (-b))
                         _visit(base, g * GROUP + k)
                         return b & (b - 1)
 
@@ -562,6 +598,54 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    if defer_attr:
+        # one extraction matmul per cluster that ever improved a lane:
+        # prim ids are globally unique (padding rows carry pid -1 and
+        # all-zero attrs), so matching the FINAL best pid against the
+        # cluster's pid row selects exactly each lane's winning
+        # triangle; stale improvers contribute all-zero one-hot rows.
+        best_pid = best_ref[:, 1:2]                      # (tile, 1) f32
+
+        def eloop(i, _):
+            ci = i // (CHUNK // 32)
+            w = i % (CHUNK // 32)
+
+            def ebody(b):
+                k = _bit_index(b & (-b))
+                jj = w * 32 + k
+                cid = order_ref[0, 0, ci * CHUNK + jj]
+                tbase = pl.multiple_of(cid * block, 128)
+                ab = attr_ref[pl.ds(tbase, block), :]
+                if MT_MXU:
+                    mtbase = pl.multiple_of(cid * (4 * block), 512)
+                    pid_blk = mt_ref[10:11, pl.ds(mtbase, block)]
+                else:
+                    pid_blk = tri_ref[9:10, pl.ds(tbase, block)]
+                onehot = (best_pid == pid_blk)           # (tile, block)
+                if ATTR_SPLIT3:
+                    prod = jax.lax.dot_general(
+                        onehot.astype(jnp.bfloat16), ab,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                    # (tile, 3A)
+                    attr_win = (prod[:, 0:ATTR_ROWS]
+                                + prod[:, ATTR_ROWS:2 * ATTR_ROWS]
+                                + prod[:, 2 * ATTR_ROWS:3 * ATTR_ROWS])
+                else:
+                    attr_win = jax.lax.dot_general(
+                        onehot.astype(jnp.float32), ab,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )                                    # (tile, A)
+                battr_ref[:, :] = battr_ref[:, :] + attr_win
+                return b & (b - 1)
+
+            jax.lax.while_loop(lambda b: b != 0, ebody, winners_ref[i])
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks * (CHUNK // 32), eloop, 0)
 
     if planar_out:
         # planar (OUT_W, tile) record: consumers slice physically-planar
@@ -662,6 +746,8 @@ def _run_kernel(rays, cb_sorted, sb_sorted, order_t, tri, attr, mt,
         pltpu.SMEM((max(n_clusters // CHUNK, 1),),
                    jnp.float32),                   # per-chunk min entry t
         pltpu.SMEM((2,), jnp.int32),               # visited/chunks counters
+        pltpu.SMEM((max((n_clusters // CHUNK) * (CHUNK // 32), 1),),
+                   jnp.int32),                     # DEFER_ATTR winner bits
     ]
     if planar_out:
         out_spec = pl.BlockSpec((OUT_W, tile), lambda i: (0, i),
