@@ -77,7 +77,10 @@ def main():
     # scripts/exp_r4c.py) it wins: 56.8 (G8/KF16) -> 52.8 ms/frame
     # (scripts/exp_r4f.py, overflow 0; G=32 regresses, and tighter
     # schedules 4/48/192+ kill 100k+ paths — disqualified).
-    KF = 32
+    # KF=64: halves the residual tunnel-floor share (38.8 -> 38.3
+    # ms/frame at the old schedule, scripts/exp_r6d.py; 37.7 -> 37.2 at
+    # the (3,24) schedule, scripts/exp_r7c.py)
+    KF = 64
     GROUP = 16
     compaction = BENCH_SCHEDULE_MERGED
     log(f"nee={nee} group={GROUP} compaction={compaction}")

@@ -169,12 +169,17 @@ drops to ~0.18 after bounce 1); bench.py verifies zero overflow kills
 at runtime via render_frame_stats, so a scene change that invalidates
 this schedule is loud, not silently biased."""
 
-BENCH_SCHEDULE_MERGED = ((1, 4), (4, 32), (8, 128))
-"""Tighter schedule for the MERGED group renderer (bench.py, group=8):
+BENCH_SCHEDULE_MERGED = ((1, 4), (3, 24), (8, 128))
+"""Tighter schedule for the MERGED group renderer (bench.py):
 capacity pools across the group's frames, so survivor spikes average out
 and the deep divisors can halve their per-frame headroom (measured:
 67.6 vs 72.1 ms/frame at G=8 with overflow 0, scripts/exp_r3s.py; the
-next notch, 48/192, killed 40k paths over 80 frames — disqualified)."""
+next notch, 48/192, killed 40k paths over 80 frames — disqualified).
+The (3, 24) boundary exploits the occupancy collapse after bounce 2
+(3.2% survivors vs phase 1's 25% capacity): bounce 3 runs 24x
+compacted instead of at the full phase-1 width — 39.1 -> 37.7 ms/frame
+at KF=32/G=16, overflow 0 (scripts/exp_r7c.py; the (2, 6) variant and
+an extra 4-phase split both measured losses)."""
 
 
 def benchmark_100k(n_target: int = 100_000, cache: bool = True):
