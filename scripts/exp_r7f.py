@@ -1,13 +1,11 @@
-"""Schedule capacity micro-tune at the s4/KF64 point (37.2 ms/frame).
+"""TRACE0_COMPACT re-measure after the emitter-hit fix.
 
-Measured occupancy (CPU probe, fixed bench camera): b0 18.31%, b2 3.22%,
-b7 0.65%.  Current capacities: phase1 25% (fill 73%), phase2 4.17%
-(fill 77%), phase3 0.78% (fill 61%).  Candidates shave each phase's
-width toward its occupancy; binomial variance at these lane counts is
-tiny (b0: 48k +- 0.2k vs 52.4k capacity at divisor 5), and the
-overflow counter gates exactness loudly.
+exp_r7e's compact-on-hit overflowed (hit fraction ~26% vs the 18.3%
+post-shade alive the widths assume — the sphere light's hits count).
+Emitter hits now resolve at full width (camera-ray MIS weight is
+exactly 1) and drop out of the compact, leaving ~19-20% glass hits.
 
-    python scripts/exp_r7d.py
+    python scripts/exp_r7f.py
 """
 
 import os
@@ -37,12 +35,17 @@ import numpy as np
 
 from ti_raytrace_tpu import film as film_mod
 from ti_raytrace_tpu.camera import CameraSpec, orbit_camera
-from ti_raytrace_tpu.examples.scenes import BENCH_SCHEDULE_MERGED, benchmark_100k
+from ti_raytrace_tpu.examples.scenes import benchmark_100k
 from ti_raytrace_tpu.integrators import pt_rgb
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+S4 = ((1, 4), (3, 24), (8, 128))
+S15 = ((1, 5), (3, 24), (8, 128))
+PAY = (8, 32)
 
 
 def main():
@@ -58,15 +61,14 @@ def main():
     raw = pt_rgb.render_film_frames_merged.__wrapped__
 
     variants = [
-        ("s4_kf64", BENCH_SCHEDULE_MERGED, None),      # 37.2 reference
-        ("s4_pay", BENCH_SCHEDULE_MERGED, (8, 32)),
-        ("p1_5", ((1, 5), (3, 24), (8, 128)), None),
-        ("p2_28", ((1, 4), (3, 28), (8, 160)), None),
-        ("all", ((1, 5), (3, 28), (8, 160)), None),
-        ("all_pay", ((1, 5), (3, 28), (8, 160)), (8, 40)),
+        ("p15_pay", S15, PAY, False),       # 34.2 reproduce
+        ("p15_pay_t0", S15, PAY, True),
+        ("s4_pay_t0", S4, PAY, True),
     ]
     KF, G = 64, 16
-    for label, sched, pay in variants:
+    for label, sched, pay, t0flag in variants:
+        saved = pt_rgb.TRACE0_COMPACT
+        pt_rgb.TRACE0_COMPACT = t0flag
         jax.clear_caches()
         try:
             step = jax.jit(
@@ -92,6 +94,8 @@ def main():
                 f"  mean {float(np.asarray(fl.hdr).mean()):.9f}")
         except Exception as e:
             log(f"{label}: FAILED {type(e).__name__}: {e}")
+        finally:
+            pt_rgb.TRACE0_COMPACT = saved
 
 
 if __name__ == "__main__":

@@ -352,6 +352,31 @@ def test_merged_group2_consistent():
     assert abs(b.mean() - a.mean()) / max(a.mean(), 1e-9) < 0.15
 
 
+def test_merged_pay_divisors_exact():
+    """The fused flush+compact (pay_divisors) banks every lane's payload
+    exactly once — with enough tail capacity it must reproduce the plain
+    flush+compact path (same RNG, same widths, zero overflow)."""
+    from ti_raytrace_tpu.integrators import pt_rgb
+
+    scene, cfg = EXAMPLES["single_model"]()
+    spec, cam = make_camera(scene, cfg, 32, 32)
+    nee = pt_rgb.has_nee_materials(scene)
+    sched = ((1, 2), (4, 8))
+
+    fl_p = film_mod.new_film(32, 32, seed=13)
+    fl_p, ov_p = pt_rgb.render_film_frames_merged(
+        scene, spec, cam, fl_p, 4, 2, sched, nee
+    )
+    fl_f = film_mod.new_film(32, 32, seed=13)
+    fl_f, ov_f = pt_rgb.render_film_frames_merged(
+        scene, spec, cam, fl_f, 4, 2, sched, nee, pay_divisors=(1,)
+    )
+    assert int(ov_p) == int(ov_f) == 0
+    np.testing.assert_allclose(
+        np.asarray(fl_f.hdr), np.asarray(fl_p.hdr), rtol=1e-6, atol=1e-7
+    )
+
+
 def test_calibrate_compaction_glass_scene():
     from ti_raytrace_tpu.integrators import pt_rgb
 

@@ -40,6 +40,12 @@ from ti_raytrace_tpu.utils.sampling import power_heuristic
 
 MAX_DEPTH = 15  # reference PT_RGB.py:21
 PRESORT_CARRY = False  # see trace_paths
+PRESORT_HALF = False  # merged deep phases: presort every SECOND bounce
+                      # (odd bounces trace with the stale lane order but
+                      # a FRESH per-tile front-to-back ordering —
+                      # pruning stays exact, only tile density decays
+                      # one bounce).  Unrolls the phase bounces
+                      # statically (no while_loop early exit).
 PRESORT_MERGED = True  # merged deep phases: sort the packed carry once
                        # per bounce (_sort_carry, ONE (22,N) gather) and
                        # trace with sort_rays=False + tile_order=True +
@@ -52,6 +58,39 @@ PRESORT_MERGED = True  # merged deep phases: sort the packed carry once
                        # call's forced row-major layout propagated into
                        # the bounce body and fragmented its fusions).
 PACK_ROWS = 22  # rows of the packed carry matrix (_pack_carry)
+NEE_FROM_EMITTER_PARITY = False  # see the shadow-ray origin note in
+                                 # _shade's NEE block
+TRACE0_COMPACT = False  # bounce-0 fast path (_trace0_compact_shade):
+                       # measured a LOSS both ways on the 100k bench
+                       # (exp_r7e/f/g): one-step (shade at the phase-1
+                       # width) overflows — the HIT fraction (~26%)
+                       # exceeds the post-shade alive fraction (18.3%) —
+                       # and the exact two-step (shade at divisor 3,
+                       # then _flush_compact to the phase width;
+                       # bit-identical renders) costs 35.4 vs 34.2
+                       # ms/frame: the extra 262k sort + 87k gather
+                       # outweigh shading 175k fewer lanes (the shade
+                       # fuses into cheap VPU work).  Kept as the
+                       # measured record.
+                       # trace at full film width, compact to the HIT
+                       # lanes at divisor TRACE0_DIV, shade there, then
+                       # a second alive-compact (_flush_compact) down to
+                       # the schedule's phase-1 width.  Applies when the
+                       # compaction schedule starts at bounce 1 and the
+                       # wavefront is a pinhole camera.  Per-lane
+                       # uniforms ride through the compaction, so
+                       # surviving lanes make the same sampling
+                       # decisions; the RNG stream of LATER bounces
+                       # shifts (lane positions change), which is the
+                       # same contract as merged groups.
+TRACE0_DIV = 3     # hit-lane width of the shade step: the HIT fraction
+                   # exceeds the post-shade alive fraction (bench: ~26%
+                   # hits — ~7.6% are Beer-killed IN shade — vs 18.3%
+                   # alive), so shading at the phase-1 width overflows
+                   # (measured 2.3k-15k kills/frame, exp_r7e/f)
+TRACE0_PAY_DIV = 16  # payload-tail capacity of the post-shade compact
+                     # (emitter-hit radiance; misses were banked at full
+                     # width before the shade compact)
 MORTON_CAMERA = True  # generate camera rays in static morton pixel
                       # order (camera.morton_pixel_order) so bounce 0
                       # runs with sort_rays=False: no coherence sort, no
@@ -133,27 +172,45 @@ def _sort_carry(scene, carry):
 
 def _bounce(scene, carry, key, nee: bool = True, presort: bool = False,
             corrected: bool = False, shared_origin=None,
-            coherent: bool = False):
+            coherent: bool = False, stale_order: bool = False):
     if presort:
         carry = _sort_carry(scene, carry)
     o = carry["origin"]
     d = carry["direction"]
-    alive = carry["alive"]
     N = o.shape[1]
 
     u = jax.random.uniform(key, (8, N), dtype=jnp.float32)
+
+    # coherent=True: the wavefront is already in a spatially coherent
+    # lane order (static morton camera generation) — skip the tracer's
+    # sort/unsort; shared_origin keeps the front-to-back cluster order.
+    # stale_order=True: the carry was presorted a bounce ago — skip the
+    # re-sort but keep the per-tile front-to-back ordering (recomputed
+    # from the CURRENT origins, so pruning stays exact).
+    t, prim, uv_bary, attr = trace_shaded(
+        scene, o, d,
+        sort_rays=not presort and not coherent and not stale_order,
+        sort_small=True,
+        shared_origin=shared_origin,
+        tile_order=presort or stale_order,
+    )
+    return _shade(scene, carry, u, t, prim, uv_bary, attr, nee, corrected)
+
+
+def _shade(scene, carry, u, t, prim, uv_bary, attr, nee: bool = True,
+           corrected: bool = False):
+    """The post-trace half of _bounce: per-lane shading, NEE, sampling
+    and carry update from a hit record.  Factored out so the bounce-0
+    fast path can trace at full film width but shade only the compacted
+    hit lanes (_trace0_compact_shade)."""
+    o = carry["origin"]
+    d = carry["direction"]
+    alive = carry["alive"]
+
     u_nee = u[0:3]
     u_bsdf = u[3:6]
     u_rr = u[6]
 
-    # coherent=True: the wavefront is already in a spatially coherent
-    # lane order (static morton camera generation) — skip the tracer's
-    # sort/unsort; shared_origin keeps the front-to-back cluster order
-    t, prim, uv_bary, attr = trace_shaded(scene, o, d,
-                                          sort_rays=not presort and not coherent,
-                                          sort_small=True,
-                                          shared_origin=shared_origin,
-                                          tile_order=presort)
     hit = decode_hit(o, d, t, prim, uv_bary, attr)
     valid = hit.valid & alive
     fnormal = pv.faceforward(hit.normal, -d, hit.gnormal)
@@ -200,11 +257,23 @@ def _bounce(scene, carry, key, nee: bool = True, presort: bool = False,
         # park shadow rays of non-disney lanes far outside the scene:
         # their tiles then fail every cluster test and cost nothing (the
         # dense tracer ignores parking; the cluster tracer exploits it).
-        # The origin is offset off the emitter: a ray starting ON the
-        # sampled triangle self-hits it at t ~ +-1e-7 about half the
-        # time (measured: the veach spot lamp lost ~50% of its NEE),
-        # and a positive self-t reads as full occlusion.
-        sh_from = pv.offset_ray(ls["pos"], ls["normal"])
+        #
+        # NEE_FROM_EMITTER_PARITY: the reference starts its shadow ray
+        # EXACTLY on the sampled emitter (PT_RGB.py:104 closet_hit_shadow
+        # from light_pos) and takes any hit with t > 0 — for non-axis-
+        # aligned lamps the self-intersection lands at t ~ +-1e-7 and a
+        # positive sign reads as full occlusion, silently dropping part
+        # of that lamp's NEE.  Axis-aligned lights (cornell) produce an
+        # exact t = 0 and are unaffected.  The published veach golden
+        # embodies SOME of this loss: at 512 frames our offset variant
+        # converges 3.5% BRIGHT (ratio 1.035, mad 0.051), the on-emitter
+        # variant 5.8% DARK (0.942, mad 0.061) — our fp drops more than
+        # the reference's does, and the artifact depends on private fp
+        # noise, so it is not replicable in principle (measured both
+        # ways, scripts/veach_diag.py).  The UNBIASED offset variant is
+        # the default: it is also the closer of the two brackets.
+        sh_from = (ls["pos"] if NEE_FROM_EMITTER_PARITY
+                   else pv.offset_ray(ls["pos"], ls["normal"]))
         sh_o = pv.where(is_disney, sh_from, jnp.full_like(ls["pos"], 1e9))
         _, sh_prim = trace(scene, sh_o, ls["direction"], sort_small=True)
         unoccluded = sh_prim == prim
@@ -420,6 +489,139 @@ def _compact(carry, new_n: int):
     return _unpack_carry(jnp.swapaxes(m, 0, 1)), overflow
 
 
+def _trace0_compact_shade(scene, o, d, key0, w_shade: int, nee: bool,
+                          corrected: bool, coherent: bool):
+    """Bounce 0 fast path: trace at full film width, SHADE at the
+    compacted width w_shade.  Only ~26% of the bench camera rays hit
+    anything, yet the shade half of _bounce (attr decode + BSDF
+    branches + NEE) runs at full width in the plain prologue.  Here the
+    wavefront is compacted to its HIT lanes (a superset of the
+    post-shade alive set — Beer roulette and emitterless termination
+    happen IN shade) between trace and shade; the per-lane uniforms
+    ride through the pack so every surviving lane makes the same
+    sampling decisions as the uncompacted bounce (extra gather rows are
+    nearly free — gathers pay per OP).  Callers follow with a
+    _flush_compact down to the schedule's phase-1 width.
+
+    Returns (shaded carry at width w_shade, accum at full width with
+    the miss payload identity-banked, overflow = kept hits beyond
+    w_shade)."""
+    N = o.shape[1]
+    u = jax.random.uniform(key0, (8, N), dtype=jnp.float32)
+    t, prim, uv_bary, attr = trace_shaded(
+        scene, o, d, sort_rays=not coherent, sort_small=True,
+        shared_origin=o[:, 0], tile_order=False,
+    )
+    valid = (t < C.INF) & (prim >= 0)
+
+    # identity-flush the miss payload (bounce-0 throughput == 1)
+    miss_payload = jnp.where(
+        valid[None], 0.0,
+        jnp.concatenate([d, jnp.ones((3, N), jnp.float32)], 0),
+    )
+    # emitter hits terminate AND resolve at full width: camera rays are
+    # perfect-specular so their MIS weight is exactly 1 and the banked
+    # radiance is just the raw emission color (attr rows 18/19:22,
+    # ops/shading.decode_hit) — excluding them from the compact matters
+    # because the bench's HIT fraction (~26%, sphere light included)
+    # exceeds the post-shade alive fraction (18.3%) the phase-1 width
+    # was provisioned for (measured: compact-on-hit killed 2.3k
+    # paths/frame at divisor 4, scripts/exp_r7e.py)
+    is_light_hit = valid & (attr[18].astype(jnp.int32) == C.MAT_LIGHT)
+    rad_payload = jnp.where(is_light_hit[None], attr[19:22], 0.0)
+    accum = (rad_payload, miss_payload)
+
+    keep = valid & ~is_light_hit
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    overflow = jnp.maximum(n_keep - w_shade, 0)
+    key_m = jnp.where(keep, jnp.uint32(0), jnp.uint32(1))
+    idx = jnp.arange(N, dtype=jnp.int32)
+    _, order = jax.lax.sort((key_m, idx), num_keys=1, is_stable=True)
+    sel = order[:w_shade]
+
+    A = attr.shape[0]
+    rows = jnp.concatenate(
+        [
+            o, d, u, t[None],
+            jax.lax.bitcast_convert_type(prim, jnp.float32)[None],
+            uv_bary, attr,
+            jax.lax.bitcast_convert_type(idx, jnp.float32)[None],
+        ],
+        axis=0,
+    )
+    m = jnp.swapaxes(
+        jnp.take(jnp.swapaxes(rows, 0, 1), sel, axis=0), 0, 1
+    )
+    o_c, d_c, u_c = m[0:3], m[3:6], m[6:14]
+    t_c = m[14]
+    prim_c = jax.lax.bitcast_convert_type(m[15], jnp.int32)
+    uv_c = m[16:18]
+    attr_c = m[18:18 + A]
+    pix_c = jax.lax.bitcast_convert_type(m[18 + A], jnp.int32)
+
+    carry = _new_carry(o_c, d_c)
+    # alive excludes emitter hits — their radiance was already banked at
+    # full width above; letting _shade see them alive would double-count
+    carry["alive"] = ((t_c < C.INF) & (prim_c >= 0)
+                      & (attr_c[18].astype(jnp.int32) != C.MAT_LIGHT))
+    carry["pixel"] = pix_c
+    return (
+        _shade(scene, carry, u_c, t_c, prim_c, uv_c, attr_c, nee, corrected),
+        accum,
+        overflow,
+    )
+
+
+def _flush_compact(scene, carry, accum, new_n: int, pay_cap: int):
+    """Fused deep-phase flush + compact: ONE 3-way stable sort
+    (alive < dead-with-payload < dead-empty) and ONE packed gather of
+    the top new_n + pay_cap lanes replace _flush's full-width scatter +
+    _compact's separate sort/gather.  Only the pay_cap-lane tail is
+    scattered into the accum (env-folding its pending misses); the
+    phase-boundary scatter cost drops from carry-width indices to
+    pay_cap (XLA TPU scatter-add costs ~40-87 ns per INDEX, layout-
+    independent — docs/PERF.md).
+
+    Dead lanes that fit inside the new carry keep riding with their
+    banked-later payload (they are parked at 1e9, so their tiles cost
+    nothing); dead-empty lanes beyond the tail drop freely.  Exactness:
+    every lane lands in exactly one of {carry, scattered tail, empty},
+    and the overflow count now ALSO covers payload lanes pushed off the
+    tail (pay_cap must keep headroom over the phase's dead-with-payload
+    occupancy, like the width schedule itself)."""
+    rad, miss_acc = accum
+    N = carry["alive"].shape[0]
+    alive = carry["alive"]
+    has_pay = (
+        jnp.any(carry["radiance"] != 0.0, axis=0)
+        | jnp.any(carry["miss_weight"] != 0.0, axis=0)
+    )
+    key3 = jnp.where(
+        alive, jnp.uint32(0), jnp.where(has_pay, jnp.uint32(1), jnp.uint32(2))
+    )
+    idx = jnp.arange(N, dtype=jnp.int32)
+    _, order = jax.lax.sort((key3, idx), num_keys=1, is_stable=True)
+    sel = order[: new_n + pay_cap]
+    m = jnp.take(jnp.swapaxes(_pack_carry(carry), 0, 1), sel, axis=0)
+    m = jnp.swapaxes(m, 0, 1)
+    new_carry = _unpack_carry(m[:, :new_n])
+    tail = _unpack_carry(m[:, new_n:])
+
+    has_miss = jnp.any(tail["miss_weight"] != 0.0, axis=0)
+    env = _env_radiance(scene, tail["miss_dir"])
+    radiance = tail["radiance"] + jnp.where(
+        has_miss[None], env * tail["miss_weight"], 0.0
+    )
+    rad = rad.at[:, tail["pixel"]].add(radiance)
+
+    n_alive = jnp.sum(alive.astype(jnp.int32))
+    n_pay = jnp.sum((~alive & has_pay).astype(jnp.int32))
+    overflow = jnp.maximum(n_alive - new_n, 0) + jnp.maximum(
+        n_alive + n_pay - (new_n + pay_cap), 0
+    )
+    return new_carry, (rad, miss_acc), overflow
+
+
 def calibrate_compaction(scene, spec, cam, key=None, probe_size: int = 128,
                          margin: float = 4.0, max_depth: int = MAX_DEPTH):
     """Derive a safe compaction schedule from one probe frame.
@@ -562,20 +764,39 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
             return radiance, jnp.int32(0)
         return radiance
     N = o.shape[1]
-    carry = _new_carry(o, d)
-    accum_full = _new_accum(N)
-
-    overflow = jnp.int32(0)
     # static phase schedule: (start, end, width)
     starts = [0] + [s for s, _ in compaction]
     ends = [s for s, _ in compaction] + [max_depth]
     widths = [N] + [_phase_width(N, dv) for _, dv in compaction]
 
+    # bounce-0 fast path (see _trace0_compact_shade): only when the
+    # schedule compacts right after bounce 0 and the wavefront is a
+    # pinhole camera — mirrors _render_group's prologue so merged
+    # group=1 stays equivalent to this sequential loop
+    fast0 = (TRACE0_COMPACT and camera_origin is not None and not presort
+             and compaction[0][0] == 1 and max_depth >= 1)
+    if fast0:
+        carry, accum_full, overflow = _trace0_compact_shade(
+            scene, o, d, jax.random.fold_in(key, 0),
+            _phase_width(N, TRACE0_DIV), nee, corrected, coherent_camera,
+        )
+        carry, accum_full, ov2 = _flush_compact(
+            scene, carry, accum_full, widths[1],
+            _phase_width(N, TRACE0_PAY_DIV),
+        )
+        overflow = overflow + ov2
+    else:
+        carry = _new_carry(o, d)
+        accum_full = _new_accum(N)
+        overflow = jnp.int32(0)
+
     for phase, (b0, b1, width) in enumerate(zip(starts, ends, widths)):
         if b0 >= max_depth:
             break
         b1 = min(b1, max_depth)
-        if phase > 0:
+        if fast0 and phase == 0:
+            continue  # bounce 0 already traced+shaded by the fast path
+        if phase > 0 and not (fast0 and phase == 1):
             carry, accum_full = _flush(
                 carry, accum_full,
                 identity=(phase == 1),  # never compacted yet: pixel==arange
@@ -681,7 +902,8 @@ def render_film_frames(scene, spec: CameraSpec, cam, film, n_frames: int = 4,
 
 def _render_group(scene, spec, cam, frame0, key0, group: int, compaction,
                   nee: bool, max_depth: int = MAX_DEPTH, gen_rays=None,
-                  lane_space: bool = False, n_lanes: int = None):
+                  lane_space: bool = False, n_lanes: int = None,
+                  pay_divisors=None):
     """`group` progressive frames with their compacted deep phases MERGED
     into one wavefront.  Returns (summed (W, H, 3) radiance, overflow).
 
@@ -724,14 +946,24 @@ def _render_group(scene, spec, cam, frame0, key0, group: int, compaction,
         key_f, ov = state
         k_cam, k_path = jax.random.split(key_f)
         o, d, coherent = gen_rays(frame0 + g, k_cam)
-        c = _new_carry(o, d)
-        c = _bounce(scene, c, jax.random.fold_in(k_path, 0), nee, False,
-                    False, shared_origin=o[:, 0], coherent=coherent)
-        for depth in range(1, b_merge):
-            c = _bounce(scene, c, jax.random.fold_in(k_path, depth), nee,
-                        False)
-        c, accum = _flush(c, _new_accum(N), identity=True)
-        c, ovg = _compact(c, w1)
+        if TRACE0_COMPACT and b_merge == 1:
+            c, accum, ovg = _trace0_compact_shade(
+                scene, o, d, jax.random.fold_in(k_path, 0),
+                _phase_width(N, TRACE0_DIV), nee, False, coherent,
+            )
+            c, accum, ov2 = _flush_compact(
+                scene, c, accum, w1, _phase_width(N, TRACE0_PAY_DIV)
+            )
+            ovg = ovg + ov2
+        else:
+            c = _new_carry(o, d)
+            c = _bounce(scene, c, jax.random.fold_in(k_path, 0), nee, False,
+                        False, shared_origin=o[:, 0], coherent=coherent)
+            for depth in range(1, b_merge):
+                c = _bounce(scene, c, jax.random.fold_in(k_path, depth), nee,
+                            False)
+            c, accum = _flush(c, _new_accum(N), identity=True)
+            c, ovg = _compact(c, w1)
         c["pixel"] = c["pixel"] + g * N
         key_next, _ = jax.random.split(key_f)  # film.accumulate's key chain
         return (key_next, ov + ovg), (_pack_carry(c), accum)
@@ -757,12 +989,30 @@ def _render_group(scene, spec, cam, frame0, key0, group: int, compaction,
             break
         b1 = min(b1, max_depth)
         if i > 0:
-            carry, accum_full = _flush(carry, accum_full, scene=scene)
-            carry, ovg = _compact(carry, group * _phase_width(N, dv))
+            w = group * _phase_width(N, dv)
+            if pay_divisors is not None:
+                # fused flush+compact: scatter only the dead-with-payload
+                # tail (pay_divisors[i-1] sets its capacity, same
+                # headroom discipline as the width schedule)
+                carry, accum_full, ovg = _flush_compact(
+                    scene, carry, accum_full, w,
+                    group * _phase_width(N, pay_divisors[i - 1]),
+                )
+            else:
+                carry, accum_full = _flush(carry, accum_full, scene=scene)
+                carry, ovg = _compact(carry, w)
             overflow = overflow + ovg
 
-        carry = _while_bounces(scene, carry, k_merge, b0, b1, nee,
-                               presort=PRESORT_MERGED and needs_presort(scene))
+        presort_on = PRESORT_MERGED and needs_presort(scene)
+        if presort_on and PRESORT_HALF:
+            for j, depth in enumerate(range(b0, b1)):
+                carry = _bounce(scene, carry,
+                                jax.random.fold_in(k_merge, depth), nee,
+                                presort=(j % 2 == 0),
+                                stale_order=(j % 2 == 1))
+        else:
+            carry = _while_bounces(scene, carry, k_merge, b0, b1, nee,
+                                   presort=presort_on)
 
     carry, accum_full = _flush(carry, accum_full, scene=scene)
     acc_rad, acc_miss = accum_full
@@ -786,10 +1036,11 @@ def _render_group(scene, spec, cam, frame0, key0, group: int, compaction,
 
 
 @partial(jax.jit, static_argnames=("spec", "n_frames", "group", "compaction",
-                                   "nee"), donate_argnums=(3,))
+                                   "nee", "pay_divisors"), donate_argnums=(3,))
 def render_film_frames_merged(scene, spec: CameraSpec, cam, film,
                               n_frames: int = 16, group: int = 4,
-                              compaction=None, nee: bool = True):
+                              compaction=None, nee: bool = True,
+                              pay_divisors=None):
     """n progressive frames in ONE dispatch, traced in merged groups.
 
     Like render_film_frames, but each group of `group` frames shares its
@@ -807,7 +1058,8 @@ def render_film_frames_merged(scene, spec: CameraSpec, cam, film,
     def gbody(_, state):
         fl, ov_total = state
         img_sum, ov = _render_group(
-            scene, spec, cam, fl.frame, fl.key, group, tuple(compaction), nee
+            scene, spec, cam, fl.frame, fl.key, group, tuple(compaction), nee,
+            pay_divisors=pay_divisors,
         )
         return film_mod.accumulate_group(fl, img_sum, group), ov_total + ov
 
