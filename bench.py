@@ -77,17 +77,21 @@ def main():
     # scripts/exp_r4c.py) it wins: 56.8 (G8/KF16) -> 52.8 ms/frame
     # (scripts/exp_r4f.py, overflow 0; G=32 regresses, and tighter
     # schedules 4/48/192+ kill 100k+ paths — disqualified).
-    # KF=64: halves the residual tunnel-floor share (38.8 -> 38.3
-    # ms/frame at the old schedule, scripts/exp_r6d.py; 37.7 -> 37.2 at
-    # the (3,24) schedule, scripts/exp_r7c.py)
-    KF = 64
+    # KF=128: quarters the residual tunnel-floor share (34.0 -> 33.9
+    # ms/frame, scripts/exp_r7h.py; KF=64 measured 38.8 -> 38.3 at the
+    # r3 schedule, exp_r6d).  Pay divisors: fused flush+compact at the
+    # merged phase boundaries (scenes.BENCH_PAY_DIVISORS).
+    KF = 128
     GROUP = 16
     compaction = BENCH_SCHEDULE_MERGED
-    log(f"nee={nee} group={GROUP} compaction={compaction}")
+    from ti_raytrace_tpu.examples.scenes import BENCH_PAY_DIVISORS
+    log(f"nee={nee} group={GROUP} compaction={compaction} "
+        f"pay={BENCH_PAY_DIVISORS}")
 
     def step(fl):
         fl, ov = pt_rgb.render_film_frames_merged(
-            scene, spec, cam, fl, KF, GROUP, compaction, nee
+            scene, spec, cam, fl, KF, GROUP, compaction, nee,
+            pay_divisors=BENCH_PAY_DIVISORS,
         )
         return fl, ov
 

@@ -48,7 +48,7 @@ def log(*a):
 
 def main():
     size = 512
-    KF, G = 32, 16
+    KF, G = 64, 16
     scene, _ = benchmark_100k()
     lo = np.asarray(scene.aabb_min)
     hi = np.asarray(scene.aabb_max)
@@ -60,7 +60,8 @@ def main():
     raw = pt_rgb.render_film_frames_merged.__wrapped__
     step = jax.jit(
         partial(raw, n_frames=KF, group=G,
-                compaction=BENCH_SCHEDULE_MERGED, nee=nee),
+                compaction=BENCH_SCHEDULE_MERGED, nee=nee,
+                pay_divisors=(8, 32)),
         static_argnums=(1,), donate_argnums=(3,),
     )
 

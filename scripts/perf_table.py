@@ -86,11 +86,14 @@ def measure_scene(name: str, quick: bool):
 
         from ti_raytrace_tpu.integrators import pt_rgb
 
-        KF, G = 64, 16
+        from ti_raytrace_tpu.examples.scenes import BENCH_PAY_DIVISORS
+
+        KF, G = 128, 16
         step_fn = jax.jit(
             partial(pt_rgb.render_film_frames_merged.__wrapped__,
                     n_frames=KF, group=G, compaction=BENCH_SCHEDULE_MERGED,
-                    nee=pt_rgb.has_nee_materials(scene)),
+                    nee=pt_rgb.has_nee_materials(scene),
+                    pay_divisors=BENCH_PAY_DIVISORS),
             static_argnums=(1,), donate_argnums=(3,),
         )
 

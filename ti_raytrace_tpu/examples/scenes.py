@@ -169,7 +169,7 @@ drops to ~0.18 after bounce 1); bench.py verifies zero overflow kills
 at runtime via render_frame_stats, so a scene change that invalidates
 this schedule is loud, not silently biased."""
 
-BENCH_SCHEDULE_MERGED = ((1, 4), (3, 24), (8, 128))
+BENCH_SCHEDULE_MERGED = ((1, 5), (3, 24), (8, 128))
 """Tighter schedule for the MERGED group renderer (bench.py):
 capacity pools across the group's frames, so survivor spikes average out
 and the deep divisors can halve their per-frame headroom (measured:
@@ -179,7 +179,18 @@ The (3, 24) boundary exploits the occupancy collapse after bounce 2
 (3.2% survivors vs phase 1's 25% capacity): bounce 3 runs 24x
 compacted instead of at the full phase-1 width — 39.1 -> 37.7 ms/frame
 at KF=32/G=16, overflow 0 (scripts/exp_r7c.py; the (2, 6) variant and
-an extra 4-phase split both measured losses)."""
+an extra 4-phase split both measured losses).  Phase-1 divisor 5: the
+bench camera's hit fraction is deterministic (18.3% +- binomial noise
+at 262k lanes vs 20% capacity) — 35.3 -> 34.2 ms/frame, overflow 0
+over 320+ frames (exp_r7d); divisors 28/160 for the deeper phases DO
+overflow (17k kills) — disqualified."""
+
+BENCH_PAY_DIVISORS = (8, 32)
+"""Payload-tail capacities of the fused flush+compact at the two merged
+phase boundaries (pt_rgb._flush_compact): the boundary scatter then
+covers only dead-with-payload lanes (~48% + alive 13% of the phase-1
+width vs scattering all of it).  Overflow-gated like the width schedule;
+(8, 40) measured 165k payload kills — disqualified (exp_r7d)."""
 
 
 def benchmark_100k(n_target: int = 100_000, cache: bool = True):

@@ -46,6 +46,10 @@ PRESORT_HALF = False  # merged deep phases: presort every SECOND bounce
                       # pruning stays exact, only tile density decays
                       # one bounce).  Unrolls the phase bounces
                       # statically (no while_loop early exit).
+                      # Measured a LOSS: 36.4 vs 34.0 ms/frame on the
+                      # 100k bench (exp_r7h) — one bounce of density
+                      # decay costs the narrow phase more than the
+                      # skipped (22,N) sort+gather.  Kept as the record.
 PRESORT_MERGED = True  # merged deep phases: sort the packed carry once
                        # per bounce (_sort_carry, ONE (22,N) gather) and
                        # trace with sort_rays=False + tile_order=True +
