@@ -94,6 +94,15 @@ REFRESH = 4      # groups per candidate refresh (BITMASK_NARROW only):
                  # in-process, 100k bench): 1/2/4 = 41.8/40.4/38.5
                  # ms/frame, renders BIT-IDENTICAL — 4 (one refresh per
                  # chunk, the max at CHUNK/GROUP=4) is production.
+                 #
+                 # SCENE-SIZE DEPENDENT: at REFRESH=4 the whole chunk's
+                 # candidates derive from best_t as it stood BEFORE the
+                 # chunk — on a single-chunk scene (<= 128 clusters,
+                 # e.g. veach's 90) that is best = INF, which disables
+                 # per-ray front-to-back pruning ENTIRELY (the r2 2.6x
+                 # lever).  trace_clustered therefore clamps the refresh
+                 # period to the chunk count: n_chunks >= 4 keeps 4
+                 # (bench unchanged), small scenes refresh per group.
 ATTR_HIGH = False  # attr one-hot extraction at Precision.HIGH: DOES NOT
                    # LOWER — Mosaic's dot rejects Precision.HIGH (only
                    # DEFAULT/HIGHEST); kept as the record.  The working
@@ -180,7 +189,8 @@ def _bit_index(low):
 def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
             out_ref, best_ref, battr_ref, counts_ref, scounts_ref, stmin_ref,
             visited_ref, winners_ref, *, n_clusters, n_supers_pad, block,
-            want_attr, planar_out=False, planar_in=False, origin_mt=False):
+            want_attr, planar_out=False, planar_in=False, origin_mt=False,
+            refresh=REFRESH):
     if planar_in:
         # planar (8, tile) ray block: the operand layout then matches the
         # caller's planar wavefront exactly.  Feeding the (N, 8) operand
@@ -518,13 +528,13 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
                 # read+branch iterations per candidate group (deep
                 # tiles visit ~9-38 of 128 clusters; the skipped
                 # iterations were a sizable share of kernel time).
-                # REFRESH > 1: one candidate mask + counts dot covers
-                # REFRESH groups (pruning refreshes less often — a
+                # refresh > 1: one candidate mask + counts dot covers
+                # `refresh` groups (pruning refreshes less often — a
                 # candidate superset, still exact).
                 cand = (
                     hit_geo
                     & (tn < best_ref[:, 0:1])
-                    & (lane_iota // (GROUP * REFRESH) == gr)
+                    & (lane_iota // (GROUP * refresh) == gr)
                 )
                 counts = jax.lax.dot_general(
                     jnp.swapaxes(ones_col, 0, 1), cand.astype(jnp.float32),
@@ -537,8 +547,8 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
                 nz = (counts > 0.0).astype(jnp.int32)
                 kk = lane_iota % GROUP
                 pw = jnp.left_shift(jnp.int32(1), kk % 16)
-                for j in range(REFRESH):
-                    g = gr * REFRESH + j
+                for j in range(refresh):
+                    g = gr * refresh + j
                     in_g = lane_iota // GROUP == g
                     w_lo = jnp.where(in_g & (kk < 16), pw, 0)
                     w_hi = jnp.where(in_g & (kk >= 16), pw, 0)
@@ -591,9 +601,9 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
             jax.lax.fori_loop(0, GROUP, inner, 0)
 
         if NSUB == 1 and BITMASK_NARROW and not DIAG_NO_NARROW:
-            jax.lax.fori_loop(0, CHUNK // (GROUP * REFRESH), group_body, 0)
+            jax.lax.fori_loop(0, CHUNK // (GROUP * refresh), group_body, 0)
         else:
-            assert REFRESH == 1, "REFRESH>1 needs the bitmask narrow phase"
+            assert refresh == 1, "refresh>1 needs the bitmask narrow phase"
             jax.lax.fori_loop(0, CHUNK // GROUP, group_body, 0)
         return 0
 
@@ -719,12 +729,13 @@ def _origin_mt_table(tri, origin):
 @functools.partial(
     jax.jit,
     static_argnames=("n_clusters", "block", "want_attr", "interpret", "tile",
-                     "planar_out", "planar_in", "origin_mt"),
+                     "planar_out", "planar_in", "origin_mt", "refresh"),
 )
 def _run_kernel(rays, cb_sorted, sb_sorted, order_t, tri, attr, mt,
                 n_clusters: int, block: int, want_attr: bool,
                 interpret: bool, tile: int = TILE, planar_out: bool = False,
-                planar_in: bool = False, origin_mt: bool = False):
+                planar_in: bool = False, origin_mt: bool = False,
+                refresh: int = REFRESH):
     # the narrow phase slices tri_ref at cid*block with a multiple_of(128)
     # hint; a block below 128 would misalign the slice and read the wrong
     # triangles (measured: BLOCK=64 silently changes the render —
@@ -761,7 +772,7 @@ def _run_kernel(rays, cb_sorted, sb_sorted, order_t, tri, attr, mt,
         functools.partial(
             _kernel, n_clusters=n_clusters, n_supers_pad=n_supers_pad,
             block=block, want_attr=want_attr, planar_out=planar_out,
-            planar_in=planar_in, origin_mt=origin_mt,
+            planar_in=planar_in, origin_mt=origin_mt, refresh=refresh,
         ),
         grid=(grid,),
         in_specs=[
@@ -1000,11 +1011,15 @@ def trace_clustered(
     origin_mt = (ORIGIN_MT and shared_origin is not None and not MT_MXU)
     if origin_mt:
         tri = _origin_mt_table(tri, shared_origin)
+    # refresh period clamped to the chunk count: on single-chunk scenes
+    # a whole-chunk refresh derives every candidate from best = INF and
+    # disables per-ray front-to-back pruning (see the REFRESH note)
+    refresh = max(1, min(REFRESH, n_clusters // CHUNK))
     out = _run_kernel(
         rays, cb_sorted, sb_sorted, order_t, tri, attr, mt,
         n_clusters, block, want_attr, interpret, tile,
         planar_out=not sort_rays, planar_in=not sort_rays,
-        origin_mt=origin_mt,
+        origin_mt=origin_mt, refresh=refresh,
     )
     if sort_rays:
         inv = jnp.zeros((n_pad,), jnp.int32).at[order].set(
