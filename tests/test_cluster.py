@@ -160,6 +160,89 @@ def test_cluster_flag_variants_match(sphere_scene, monkeypatch, flag):
         assert mismatch.mean() < 0.02
 
 
+def test_cluster_tmax_bound(sphere_scene):
+    """Per-lane tmax seeding (shadow-ray distance bound): hits strictly
+    inside the bound are the exact closest hit; hits beyond it report a
+    miss (t = INF, prim = -1).  Bounds are placed at 0.5x / 2x the known
+    closest t so fp detail can't flip the comparison."""
+    scene = sphere_scene
+    o, d = _rays(scene, 160, seed=5)
+    t0, prim0, _ = trace_clustered(scene, o, d, interpret=True)
+    t0, prim0 = np.asarray(t0), np.asarray(prim0)
+    hit = t0 < 1e5
+    assert hit.sum() > 30
+
+    finite = np.where(hit, t0, 1.0)
+    # bound comfortably beyond every hit: identical result
+    t1, prim1, _ = trace_clustered(scene, o, d, interpret=True,
+                                   tmax=jnp.asarray(finite * 2.0))
+    t1, prim1 = np.asarray(t1), np.asarray(prim1)
+    np.testing.assert_array_equal(np.where(hit, t1, 0.0),
+                                  np.where(hit, t0, 0.0))
+    assert (prim1 == prim0).all()
+    # unbounded lanes missed -> t reported INF
+    assert (t1[~hit] >= C.INF).all()
+
+    # bound in front of every hit: everything misses
+    t2, prim2, _ = trace_clustered(scene, o, d, interpret=True,
+                                   tmax=jnp.asarray(finite * 0.5))
+    t2, prim2 = np.asarray(t2), np.asarray(prim2)
+    assert (prim2 == -1).all()
+    assert (t2 >= C.INF).all()
+
+    # tmax <= 0 means unbounded
+    t3, prim3, _ = trace_clustered(
+        scene, o, d, interpret=True,
+        tmax=jnp.zeros((o.shape[1],), jnp.float32))
+    np.testing.assert_array_equal(np.asarray(t3), t0)
+    assert (np.asarray(prim3) == prim0).all()
+
+
+def test_cluster_active_capacity(sphere_scene):
+    """Occupancy compaction (active + cap_frac): active lanes within
+    capacity return the exact unmasked result, inactive lanes report
+    miss regardless of the ray data they carry, and active lanes beyond
+    capacity are cut to misses (the caller-side overflow contract)."""
+    scene = sphere_scene
+    n = 640
+    o, d = _rays(scene, n, seed=7)
+    t0, prim0, _ = trace_clustered(scene, o, d, interpret=True,
+                                   sort_small=True)
+    t0, prim0 = np.asarray(t0), np.asarray(prim0)
+
+    rng = np.random.default_rng(3)
+    active = jnp.asarray(rng.random(n) < 0.4)
+    n_act = int(np.asarray(active).sum())
+
+    # capacity comfortably above occupancy: actives exact, parked miss
+    t1, prim1, _ = trace_clustered(
+        scene, o, d, interpret=True, sort_small=True,
+        active=active, cap_frac=0.75)
+    t1, prim1 = np.asarray(t1), np.asarray(prim1)
+    a = np.asarray(active)
+    np.testing.assert_array_equal(prim1[a], prim0[a])
+    np.testing.assert_array_equal(t1[a], t0[a])
+    assert (prim1[~a] == -1).all()
+    assert (t1[~a] >= C.INF).all()
+
+    # capacity below occupancy: every surviving active lane still agrees
+    # with the unmasked trace, and exactly (n_act - cap) actives are cut
+    from ti_raytrace_tpu.ops.cluster_trace import capacity_lanes
+
+    cap = capacity_lanes(n, 0.25)
+    assert cap < n_act
+    t2, prim2, _ = trace_clustered(
+        scene, o, d, interpret=True, sort_small=True,
+        active=active, cap_frac=0.25)
+    t2, prim2 = np.asarray(t2), np.asarray(prim2)
+    kept = a & (prim2 == prim0) & ((t2 == t0) | (prim0 == -1))
+    cut = a & (prim2 == -1) & (t2 >= C.INF) & (prim0 != -1)
+    # misses stay misses whether kept or cut; hits either match or cut
+    assert (kept | cut)[a].all()
+    assert cut.sum() <= n_act - min(cap, n_act) + (prim0[a] == -1).sum()
+    assert (prim2[~a] == -1).all()
+
+
 def test_attr_split3_exact(sphere_scene):
     """The bf16x3 decomposition must reproduce the f32 attr table bit for
     bit — the ATTR_SPLIT3 kernel path's exactness precondition."""

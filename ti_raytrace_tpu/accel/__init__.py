@@ -26,7 +26,8 @@ def _interpret() -> bool:
 
 
 def trace(scene, origin, direction, sort_rays: bool = True,
-          sort_small: bool = False, tile_order: bool = False):
+          sort_small: bool = False, tile_order: bool = False, tmax=None,
+          active=None, cap_frac=None):
     """Planar closest-hit: origin/direction (3, N) -> (t, prim).
 
     sort_rays=False skips the cluster tracer's coherence sort/unsort —
@@ -34,7 +35,20 @@ def trace(scene, origin, direction, sort_rays: bool = True,
     the whole carry once per bounce, which is far cheaper than
     sort+unsort gathers around every trace).  sort_small=True sorts even
     sub-SMALL_WAVEFRONT widths (PT's compacted deep phases — incoherent
-    survivors; BDPT's natively-small wavefronts keep the skip)."""
+    survivors; BDPT's natively-small wavefronts keep the skip).
+
+    tmax: optional (N,) shadow-ray distance bound — the CLUSTER tracer
+    reports hits at t >= tmax as misses and prunes everything beyond the
+    bound (cluster_trace.trace_clustered); the dense tracer IGNORES it
+    (no pruning to win, true closest hit returned).  Callers must treat
+    the result as exact only for `prim == target` / `t-within-bound`
+    predicates, which hold under both behaviors.
+
+    active + cap_frac: occupancy compaction (cluster tracer only, see
+    cluster_trace.trace_clustered) — inactive lanes' results are
+    UNDEFINED across the two tracers (miss under the cluster tracer,
+    real hits under dense), so callers may only read lanes they marked
+    active."""
     if scene.n_prims <= DENSE_MAX_PRIMS:
         from ti_raytrace_tpu.ops.dense_trace import trace_planar
 
@@ -43,19 +57,23 @@ def trace(scene, origin, direction, sort_rays: bool = True,
 
     t, prim, _ = trace_clustered(
         scene, origin, direction, interpret=_interpret(), sort_rays=sort_rays,
-        sort_small=sort_small, tile_order=tile_order,
+        sort_small=sort_small, tile_order=tile_order, tmax=tmax,
+        active=active, cap_frac=cap_frac,
     )
     return t, prim
 
 
 def trace_shaded(scene, origin, direction, sort_rays: bool = True,
                  sort_small: bool = False, shared_origin=None,
-                 tile_order: bool = False):
+                 tile_order: bool = False, active=None, cap_frac=None):
     """Planar closest-hit + shading pack -> (t, prim, uv_bary, attr).
 
     shared_origin: (3,) common ray origin (pinhole camera wavefronts) —
     lets the cluster tracer use ONE shared front-to-back order instead
-    of per-tile ordering."""
+    of per-tile ordering.
+
+    active + cap_frac: occupancy compaction (cluster tracer only; see
+    `trace` above) — callers may only read lanes they marked active."""
     if scene.n_prims <= DENSE_MAX_PRIMS:
         from ti_raytrace_tpu.ops.dense_trace import trace_shaded as _dense
 
@@ -69,6 +87,7 @@ def trace_shaded(scene, origin, direction, sort_rays: bool = True,
         scene, origin, direction, interpret=_interpret(), want_attr=True,
         sort_rays=sort_rays, sort_small=sort_small,
         shared_origin=shared_origin, tile_order=tile_order,
+        active=active, cap_frac=cap_frac,
     )
     return t, prim, uv, attr
 

@@ -52,6 +52,21 @@ PARK = 1e9
 # replicate the reference's material-index-vs-type comparison in MIS
 _QUIRK_MAT_INDEX = True
 
+# Occupancy compaction of the fused shadow-ray wavefront: the sorted
+# cluster tracer packs the selected (sel) lanes into a dense prefix and
+# runs the kernel grid over only SHADOW_CAP of the lanes — parked lanes
+# (~55% on veach: strategies whose endpoint never materialized or is
+# delta) drop out of the kernel grid.  Contract: active lanes above
+# capacity are CUT to misses, which the consumers read as "occluded" —
+# a bias — so any cap needs measured headroom (veach active fraction is
+# 45.2-45.3% over frames, scripts/exp_r8e.py: caps 0.5/0.5625/0.625 all
+# 0 kills and BIT-IDENTICAL images).  Default None: the A/B measured no
+# frame-time change (0.898 s off vs 0.891-0.903 capped) because parked
+# lanes already carry a 1e-3 tmax seed that prunes their narrow phase
+# to nothing — the machinery stays for scenes where the broad-phase
+# floor matters (pass shadow_cap= to the render entry points).
+SHADOW_CAP = None
+
 
 def _quirk_is_disney(v):
     if _QUIRK_MAT_INDEX:
@@ -80,149 +95,172 @@ def _empty_vertex(N):
     )
 
 
+def _walk_state(origin, direction, beta0, fpdf0, vertex0, max_depth):
+    """Mutable walk carry: per-depth vertex dicts + the ray front."""
+    N = origin.shape[1]
+    return {
+        "verts": [vertex0] + [_empty_vertex(N) for _ in range(max_depth - 1)],
+        "count": jnp.ones((N,), jnp.int32),
+        "o": origin,
+        "d": direction,
+        "beta": beta0,
+        "pdf_fwd": fpdf0,
+        "alive": jnp.ones((N,), bool),
+    }
+
+
 def _walk(scene, origin, direction, beta0, fpdf0, vertex0, max_depth, key,
           is_light_path, spec_ctx=None, corrected: bool = False):
     """Shared subpath random walk (reference eye_path:105-198 /
     light_path:201-294).  Returns list of per-depth vertex dicts and the
     per-lane vertex count."""
-    N = origin.shape[1]
-    verts = [vertex0] + [_empty_vertex(N) for _ in range(max_depth - 1)]
-    count = jnp.ones((N,), jnp.int32)
-
-    o, d = origin, direction
-    beta = beta0
-    pdf_fwd = fpdf0
-    alive = jnp.ones((N,), bool)
-
+    st = _walk_state(origin, direction, beta0, fpdf0, vertex0, max_depth)
     for depth in range(1, max_depth):
-        k = jax.random.fold_in(key, depth)
-        u = jax.random.uniform(k, (5, N), dtype=jnp.float32)
+        o_t = pv.where(st["alive"], st["o"], jnp.full_like(st["o"], PARK))
+        traced = trace_shaded(scene, o_t, st["d"])
+        _walk_step(scene, st, depth, key, is_light_path, spec_ctx,
+                   corrected, o_t, traced)
+    return st["verts"], st["count"]
 
-        o_t = pv.where(alive, o, jnp.full_like(o, PARK))
-        t, prim, uv_bary, attr = trace_shaded(scene, o_t, d)
-        hit = decode_hit(o_t, d, t, prim, uv_bary, attr)
-        valid = hit.valid & alive
-        fnormal = pv.faceforward(hit.normal, -d, hit.gnormal)
+
+def _walk_step(scene, st, depth, key, is_light_path, spec_ctx, corrected,
+               o_t, traced):
+    """One walk depth given this depth's trace results; mutates st."""
+    N = o_t.shape[1]
+    verts, count = st["verts"], st["count"]
+    o, d, beta, pdf_fwd, alive = (st["o"], st["d"], st["beta"],
+                                  st["pdf_fwd"], st["alive"])
+
+    k = jax.random.fold_in(key, depth)
+    u = jax.random.uniform(k, (5, N), dtype=jnp.float32)
+
+    t, prim, uv_bary, attr = traced
+    hit = decode_hit(o_t, d, t, prim, uv_bary, attr)
+    valid = hit.valid & alive
+    fnormal = pv.faceforward(hit.normal, -d, hit.gnormal)
+    if spec_ctx is None:
+        reflect = srgb_to_lrgb(hit.mat_color)
+    else:
+        reflect = spec_ctx.reflect_power(attr)
+    is_light_mat = hit.mat_type == C.MAT_LIGHT
+
+    prev = verts[depth - 1]
+    to = hit.pos - prev["pos"]
+    dist = jnp.maximum(pv.length(to), 0.01)
+    inv_d2 = 1.0 / (dist * dist)
+    to = to * (1.0 / dist)[None]
+    if corrected:
+        # standard solid-angle -> area-measure conversion: the cosine
+        # at the NEW vertex (PBRT convertDensity)
+        geo_fwd = jnp.abs(pv.dot(to, hit.normal)) * inv_d2
+    else:
+        # reference quirk: cosine at the PREVIOUS vertex
+        # (BDPT_RGB.py:143-146 geo_pdf uses this_normal of the source)
+        geo_fwd = jnp.abs(pv.dot(to, prev["normal"])) * inv_d2
+
+    if is_light_path:
+        # light walk stops on emitter hits without storing a vertex
+        store = valid & ~is_light_mat
+    else:
+        store = valid
+
+    vt = verts[depth]
+    vt["pos"] = pv.where(store, hit.pos, vt["pos"])
+    vt["normal"] = pv.where(store, hit.normal, vt["normal"])
+    vt["snormal"] = pv.where(store, fnormal, vt["snormal"])
+    vt["wo"] = pv.where(store, d, vt["wo"])
+    vt["reflect"] = pv.where(store, reflect, vt["reflect"])
+    vt["fpdf"] = jnp.where(store, pdf_fwd * geo_fwd, vt["fpdf"])
+    vt["prim"] = jnp.where(store, prim, vt["prim"])
+    vt["mat_type"] = jnp.where(store, hit.mat_type, vt["mat_type"])
+    vt["mat_index"] = jnp.where(store, attr[30].astype(jnp.int32), vt["mat_index"])
+    vt["metallic"] = jnp.where(store, hit.mat_p0, vt["metallic"])
+    vt["roughness"] = jnp.where(store, hit.mat_p1, vt["roughness"])
+    vt["area"] = jnp.where(store, hit.area, vt["area"])
+
+    if not is_light_path:
+        # emitter hit terminates the eye walk with a light vertex
+        # (beta folds emission and |n.d|, reference :148-152; the
+        # spectral variant folds the light power without the cosine,
+        # BDPT_SPEC.py:228)
+        lhit = valid & is_light_mat
         if spec_ctx is None:
-            reflect = srgb_to_lrgb(hit.mat_color)
+            light_beta = beta * hit.mat_color * jnp.abs(pv.dot(hit.normal, d))[None]
         else:
-            reflect = spec_ctx.reflect_power(attr)
-        is_light_mat = hit.mat_type == C.MAT_LIGHT
-
-        prev = verts[depth - 1]
-        to = hit.pos - prev["pos"]
-        dist = jnp.maximum(pv.length(to), 0.01)
-        inv_d2 = 1.0 / (dist * dist)
-        to = to * (1.0 / dist)[None]
-        if corrected:
-            # standard solid-angle -> area-measure conversion: the cosine
-            # at the NEW vertex (PBRT convertDensity)
-            geo_fwd = jnp.abs(pv.dot(to, hit.normal)) * inv_d2
-        else:
-            # reference quirk: cosine at the PREVIOUS vertex
-            # (BDPT_RGB.py:143-146 geo_pdf uses this_normal of the source)
-            geo_fwd = jnp.abs(pv.dot(to, prev["normal"])) * inv_d2
-
-        if is_light_path:
-            # light walk stops on emitter hits without storing a vertex
-            store = valid & ~is_light_mat
-        else:
-            store = valid
-
-        vt = verts[depth]
-        vt["pos"] = pv.where(store, hit.pos, vt["pos"])
-        vt["normal"] = pv.where(store, hit.normal, vt["normal"])
-        vt["snormal"] = pv.where(store, fnormal, vt["snormal"])
-        vt["wo"] = pv.where(store, d, vt["wo"])
-        vt["reflect"] = pv.where(store, reflect, vt["reflect"])
-        vt["fpdf"] = jnp.where(store, pdf_fwd * geo_fwd, vt["fpdf"])
-        vt["prim"] = jnp.where(store, prim, vt["prim"])
-        vt["mat_type"] = jnp.where(store, hit.mat_type, vt["mat_type"])
-        vt["mat_index"] = jnp.where(store, attr[30].astype(jnp.int32), vt["mat_index"])
-        vt["metallic"] = jnp.where(store, hit.mat_p0, vt["metallic"])
-        vt["roughness"] = jnp.where(store, hit.mat_p1, vt["roughness"])
-        vt["area"] = jnp.where(store, hit.area, vt["area"])
-
-        if not is_light_path:
-            # emitter hit terminates the eye walk with a light vertex
-            # (beta folds emission and |n.d|, reference :148-152; the
-            # spectral variant folds the light power without the cosine,
-            # BDPT_SPEC.py:228)
-            lhit = valid & is_light_mat
-            if spec_ctx is None:
-                light_beta = beta * hit.mat_color * jnp.abs(pv.dot(hit.normal, d))[None]
-            else:
-                light_beta = beta * spec_ctx.light_power_attr(attr)
-            vt["beta"] = pv.where(
-                lhit,
-                light_beta,
-                pv.where(store, beta * jnp.abs(pv.dot(d, hit.normal))[None], vt["beta"]),
-            )
-            vt["vtype"] = jnp.where(
-                lhit, V_LIGHT, jnp.where(store, V_SURFACE, vt["vtype"])
-            )
-            count = jnp.where(valid, depth + 1, count)
-            continue_mask = valid & ~is_light_mat
-        else:
-            vt["beta"] = pv.where(store, beta * jnp.abs(pv.dot(d, hit.normal))[None], vt["beta"])
-            vt["vtype"] = jnp.where(store, V_SURFACE, vt["vtype"])
-            count = jnp.where(store, depth + 1, count)
-            continue_mask = store
-
-        # ---- sample the continuation --------------------------------
-        is_glass = continue_mask & (hit.mat_type == C.MAT_GLASS)
-        if spec_ctx is None:
-            glass_ior = hit.mat_p0
-        else:
-            # dispersive glass at the path's single wavelength
-            # (BDPT_SPEC.py:241,335 -> Glass.sample_lambda)
-            from ti_raytrace_tpu.utils.geometry import bk7_ior
-
-            glass_ior = bk7_ior(spec_ctx.lam)
-        g_dir, g_forb = glass_sample(u[0], d, hit.normal, glass_ior)
-        d_dir = disney_sample(u[0:3], d, fnormal, hit.mat_p0, hit.mat_p1)
-        d_brdf, d_pdf = disney_evaluate_pdf(fnormal, -d, d_dir, hit.mat_p0,
-                                            hit.mat_p1, true_pdf=corrected)
-
-        next_dir = pv.where(is_glass, g_dir, d_dir)
-        f_or_b = jnp.where(is_glass, g_forb, 1.0)
-        brdf = jnp.where(is_glass, 1.0, d_brdf)
-        pdf_new = jnp.where(is_glass, 1.0, d_pdf)
-        vt["delta"] = jnp.where(store, jnp.where(is_glass, 1.0, 0.0), vt["delta"])
-
-        ok = continue_mask & (pdf_new > 0.0)
-
-        # reverse pdf of the PREVIOUS vertex (reference :179-180, :274-277)
-        pdf_rev = jnp.where(
-            is_glass, 0.0,
-            _disney_pdf(fnormal, next_dir, -d, hit.mat_p0, hit.mat_p1,
-                        true_pdf=corrected),
+            light_beta = beta * spec_ctx.light_power_attr(attr)
+        vt["beta"] = pv.where(
+            lhit,
+            light_beta,
+            pv.where(store, beta * jnp.abs(pv.dot(d, hit.normal))[None], vt["beta"]),
         )
-        if corrected:
-            # area measure at the PREVIOUS vertex -> its cosine
-            geo_rev = jnp.abs(pv.dot(to, prev["normal"])) * inv_d2
-        else:
-            geo_rev = jnp.abs(pv.dot(to, vt["normal"])) * inv_d2
-        prev["rpdf"] = jnp.where(ok, pdf_rev * geo_rev, prev["rpdf"])
-
-        beta_scale = jnp.where(
-            is_glass,
-            brdf,
-            brdf * jnp.abs(pv.dot(hit.normal, next_dir)) / jnp.maximum(pdf_new, 1e-12),
+        vt["vtype"] = jnp.where(
+            lhit, V_LIGHT, jnp.where(store, V_SURFACE, vt["vtype"])
         )
-        beta = pv.where(ok, beta * reflect * beta_scale[None], beta)
-        pdf_fwd = jnp.where(is_glass, 0.0, jnp.where(ok, pdf_new, pdf_fwd))
+        count = jnp.where(valid, depth + 1, count)
+        continue_mask = valid & ~is_light_mat
+    else:
+        vt["beta"] = pv.where(store, beta * jnp.abs(pv.dot(d, hit.normal))[None], vt["beta"])
+        vt["vtype"] = jnp.where(store, V_SURFACE, vt["vtype"])
+        count = jnp.where(store, depth + 1, count)
+        continue_mask = store
 
-        # Beer-Lambert roulette on transmission (reference :182-186)
-        beer_r = jnp.exp(-t / jnp.maximum(hit.mat_p1, 1e-12))
-        beer_kill = (f_or_b < 0.0) & (u[4] >= beer_r)
-        ok = ok & ~beer_kill
+    # ---- sample the continuation --------------------------------
+    is_glass = continue_mask & (hit.mat_type == C.MAT_GLASS)
+    if spec_ctx is None:
+        glass_ior = hit.mat_p0
+    else:
+        # dispersive glass at the path's single wavelength
+        # (BDPT_SPEC.py:241,335 -> Glass.sample_lambda)
+        from ti_raytrace_tpu.utils.geometry import bk7_ior
 
-        o = pv.where(ok, pv.offset_ray(hit.pos, fnormal * pv.sign_nonzero(f_or_b)[None]), o)
-        d = pv.where(ok, next_dir, d)
-        alive = ok
+        glass_ior = bk7_ior(spec_ctx.lam)
+    g_dir, g_forb = glass_sample(u[0], d, hit.normal, glass_ior)
+    d_dir = disney_sample(u[0:3], d, fnormal, hit.mat_p0, hit.mat_p1)
+    d_brdf, d_pdf = disney_evaluate_pdf(fnormal, -d, d_dir, hit.mat_p0,
+                                        hit.mat_p1, true_pdf=corrected)
 
-    return verts, count
+    next_dir = pv.where(is_glass, g_dir, d_dir)
+    f_or_b = jnp.where(is_glass, g_forb, 1.0)
+    brdf = jnp.where(is_glass, 1.0, d_brdf)
+    pdf_new = jnp.where(is_glass, 1.0, d_pdf)
+    vt["delta"] = jnp.where(store, jnp.where(is_glass, 1.0, 0.0), vt["delta"])
+
+    ok = continue_mask & (pdf_new > 0.0)
+
+    # reverse pdf of the PREVIOUS vertex (reference :179-180, :274-277)
+    pdf_rev = jnp.where(
+        is_glass, 0.0,
+        _disney_pdf(fnormal, next_dir, -d, hit.mat_p0, hit.mat_p1,
+                    true_pdf=corrected),
+    )
+    if corrected:
+        # area measure at the PREVIOUS vertex -> its cosine
+        geo_rev = jnp.abs(pv.dot(to, prev["normal"])) * inv_d2
+    else:
+        geo_rev = jnp.abs(pv.dot(to, vt["normal"])) * inv_d2
+    prev["rpdf"] = jnp.where(ok, pdf_rev * geo_rev, prev["rpdf"])
+
+    beta_scale = jnp.where(
+        is_glass,
+        brdf,
+        brdf * jnp.abs(pv.dot(hit.normal, next_dir)) / jnp.maximum(pdf_new, 1e-12),
+    )
+    beta = pv.where(ok, beta * reflect * beta_scale[None], beta)
+    pdf_fwd = jnp.where(is_glass, 0.0, jnp.where(ok, pdf_new, pdf_fwd))
+
+    # Beer-Lambert roulette on transmission (reference :182-186)
+    beer_r = jnp.exp(-t / jnp.maximum(hit.mat_p1, 1e-12))
+    beer_kill = (f_or_b < 0.0) & (u[4] >= beer_r)
+    ok = ok & ~beer_kill
+
+    o = pv.where(ok, pv.offset_ray(hit.pos, fnormal * pv.sign_nonzero(f_or_b)[None]), o)
+    d = pv.where(ok, next_dir, d)
+    alive = ok
+
+
+    st["count"] = count
+    st["o"], st["d"] = o, d
+    st["beta"], st["pdf_fwd"], st["alive"] = beta, pdf_fwd, alive
 
 
 def build_eye_path_rays(scene, o, d, key, spec_ctx=None,
@@ -274,10 +312,9 @@ def build_eye_path(scene, spec, cam, frame, key, spec_ctx=None,
                                fpdf0=fpdf0, corrected=corrected)
 
 
-def build_light_path(scene, N, key, spec_ctx=None,
-                     light_depth: int = LIGHT_MAX_DEPTH,
-                     corrected: bool = False):
-    k_sample, k_walk = jax.random.split(key)
+def _light_init(scene, N, k_sample, spec_ctx=None, corrected: bool = False):
+    """Light subpath start: sampled emitter vertex + first ray.
+    Returns (o, d, beta0, dir_pdf, v0)."""
     u6 = jax.random.uniform(k_sample, (6, N), dtype=jnp.float32)
     ls = sample_light(scene, u6)
 
@@ -306,11 +343,80 @@ def build_light_path(scene, N, key, spec_ctx=None,
         beta0 = beta0 / jnp.maximum(ls["dir_pdf_std"], 1e-6)[None]
     o = ls["pos"]
     dir_pdf = ls["dir_pdf_std"] if corrected else ls["dir_pdf"]
+    return o, ls["direction"], beta0, dir_pdf, v0
+
+
+def build_light_path(scene, N, key, spec_ctx=None,
+                     light_depth: int = LIGHT_MAX_DEPTH,
+                     corrected: bool = False):
+    k_sample, k_walk = jax.random.split(key)
+    o, d, beta0, dir_pdf, v0 = _light_init(scene, N, k_sample, spec_ctx,
+                                           corrected)
     return _walk(
-        scene, o, ls["direction"], beta0, dir_pdf, v0,
+        scene, o, d, beta0, dir_pdf, v0,
         light_depth, k_walk, is_light_path=True, spec_ctx=spec_ctx,
         corrected=corrected,
     )
+
+
+def build_subpaths(scene, o, d, k_eye, k_light, spec_ctx=None,
+                   eye_depth: int = EYE_MAX_DEPTH,
+                   light_depth: int = LIGHT_MAX_DEPTH,
+                   fpdf0=None, corrected: bool = False):
+    """Eye + light subpaths with each depth's two walk traces fused into
+    ONE wavefront.  The walks are independent, so the tracer's fixed
+    per-dispatch costs (coherence sort, kernel launch, unsort gathers)
+    are paid once per depth instead of twice; per-lane hits are exact
+    either way, so the estimator is unchanged vs the separate builders
+    (same keys: k_eye == build_eye_path_rays' key, k_light ==
+    build_light_path's).  Returns (eye, eye_count, light, light_count).
+    """
+    N = o.shape[1]
+    C_ = 1 if spec_ctx is not None else 3
+
+    v0e = _empty_vertex(N)
+    v0e["pos"] = o
+    v0e["normal"] = d  # reference stores the ray direction (:114)
+    v0e["beta"] = jnp.ones((C_, N), jnp.float32)
+    v0e["fpdf"] = jnp.ones((N,), jnp.float32)
+    v0e["vtype"] = jnp.full((N,), V_LENS, jnp.int32)
+    if fpdf0 is None:
+        fpdf0 = jnp.ones((N,), jnp.float32)
+    st_e = _walk_state(o, d, jnp.ones((C_, N), jnp.float32), fpdf0, v0e,
+                       eye_depth)
+
+    k_sample, k_lwalk = jax.random.split(k_light)
+    lo, ld, lbeta0, ldir_pdf, v0l = _light_init(scene, N, k_sample, spec_ctx,
+                                                corrected)
+    st_l = _walk_state(lo, ld, lbeta0, ldir_pdf, v0l, light_depth)
+
+    for depth in range(1, max(eye_depth, light_depth)):
+        do_e = depth < eye_depth
+        do_l = depth < light_depth
+        o_te = (pv.where(st_e["alive"], st_e["o"],
+                         jnp.full_like(st_e["o"], PARK)) if do_e else None)
+        o_tl = (pv.where(st_l["alive"], st_l["o"],
+                         jnp.full_like(st_l["o"], PARK)) if do_l else None)
+        if do_e and do_l:
+            tt = trace_shaded(
+                scene,
+                jnp.concatenate([o_te, o_tl], axis=1),
+                jnp.concatenate([st_e["d"], st_l["d"]], axis=1),
+            )
+            traced_e = tuple(x[..., :N] for x in tt)
+            traced_l = tuple(x[..., N:] for x in tt)
+        elif do_e:
+            traced_e = trace_shaded(scene, o_te, st_e["d"])
+        else:
+            traced_l = trace_shaded(scene, o_tl, st_l["d"])
+        if do_e:
+            _walk_step(scene, st_e, depth, k_eye, False, spec_ctx,
+                       corrected, o_te, traced_e)
+        if do_l:
+            _walk_step(scene, st_l, depth, k_lwalk, True, spec_ctx,
+                       corrected, o_tl, traced_l)
+
+    return st_e["verts"], st_e["count"], st_l["verts"], st_l["count"]
 
 
 def _remap0(f):
@@ -388,9 +494,81 @@ def _cos_in(v):
     return jnp.maximum(jnp.abs(pv.dot(v["wo"], v["normal"])), 1e-6)
 
 
+def _shadow_requests(scene, spec, cam, eye, eye_count, light, light_count,
+                     key, pairs):
+    """Build every connection strategy's shadow ray (pass 1 of
+    _connections).  Returns (req_o, req_d, req_tmax, req_sel, req_tags)
+    lists — one (3, N) origin/direction + (N,) distance bound + (N,)
+    active mask per l>0 strategy.
+
+    Every request carries its target distance as a tmax: visibility is
+    decided by `sh_prim == target` and t is read only where the prim
+    matches, so a hit beyond the bound can never satisfy the predicate —
+    the cluster kernel seeds best_t with it (front-to-back pruning
+    starts at the target, not at INF) and parked lanes get a tiny bound
+    that prunes the whole scene.  Exact for the consumers (accel.trace).
+    """
+    N = eye[0]["pos"].shape[1]
+    req_o, req_d, req_tmax, req_sel, req_tags = [], [], [], [], []
+    parked_tmax = jnp.full((N,), 1e-3, jnp.float32)
+
+    def _bound(sel, dist):
+        return jnp.where(sel, dist * 1.001 + 1e-3, parked_tmax)
+
+    for (e, l) in pairs:
+        k = jax.random.fold_in(key, e * 16 + l)
+        ev = eye[e - 1]
+        active = (eye_count >= e) & ((light_count >= l) if l > 0 else True)
+        if l == 0:
+            continue
+        if e == 1:
+            lv = light[l - 1]
+            _, _, wi_rows, vis = project(spec, cam, jnp.swapaxes(lv["pos"], 0, 1))
+            wi = jnp.swapaxes(wi_rows, 0, 1)
+            ndl = pv.dot(wi, lv["snormal"])
+            sel = (
+                active & vis & (lv["delta"] != 1.0) & (ndl < 0.0)
+                & (lv["vtype"] == V_SURFACE)
+            )
+            cam_o = jnp.broadcast_to(cam.eye[:, None], (3, N))
+            sh_o = pv.where(sel, cam_o, jnp.full((3, N), PARK))
+            tdist = pv.length(lv["pos"] - cam_o)
+            req_o.append(sh_o); req_d.append(wi)
+            req_tmax.append(_bound(sel, tdist))
+            req_sel.append(sel); req_tags.append((e, l))
+        elif l == 1:
+            u3 = jax.random.uniform(k, (3, N), dtype=jnp.float32)
+            surface = pv.offset_ray(ev["pos"], ev["snormal"])
+            ls = sample_li(scene, surface, u3)
+            sel = active & (ev["delta"] != 1.0) & (ev["vtype"] == V_SURFACE)
+            sh_o = pv.where(sel, surface, jnp.full((3, N), PARK))
+            req_o.append(sh_o); req_d.append(-ls["direction"])
+            req_tmax.append(_bound(sel, ls["dist"]))
+            req_sel.append(sel); req_tags.append((e, l))
+        else:
+            lv = light[l - 1]
+            sel = (
+                active & (lv["delta"] != 1.0) & (ev["delta"] != 1.0)
+                & (ev["vtype"] == V_SURFACE) & (lv["vtype"] == V_SURFACE)
+            )
+            dirv = ev["pos"] - lv["pos"]
+            dist = jnp.maximum(pv.length(dirv), 1e-6)
+            dirv = dirv * (1.0 / dist)[None]
+            ndl_l = pv.dot(dirv, lv["snormal"])
+            lv_from = pv.offset_ray(
+                lv["pos"], lv["snormal"] * pv.sign_nonzero(ndl_l)[None]
+            )
+            sh_o = pv.where(sel, lv_from, jnp.full((3, N), PARK))
+            req_o.append(sh_o); req_d.append(dirv)
+            req_tmax.append(_bound(sel, dist))
+            req_sel.append(sel); req_tags.append((e, l))
+    return req_o, req_d, req_tmax, req_sel, req_tags
+
+
 def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
                  spec_ctx=None, strategies=None, corrected: bool = False,
-                 max_depth: int = MAX_DEPTH, unweighted: bool = False):
+                 max_depth: int = MAX_DEPTH, unweighted: bool = False,
+                 shadow_cap=None):
     """All (e, l) strategies; returns (radiance (C,N), splat image).
 
     strategies: optional host-side predicate `f(e, l) -> bool` selecting
@@ -433,51 +611,28 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
     # one concatenated trace amortizes them ~28x.  The per-strategy RNG
     # keys and geometry are recomputed identically in pass 2 (the draws
     # are deterministic), so nothing else changes.
+    # Every request also carries its target distance: visibility is
+    # decided by `sh_prim == target` and t is read only where the prim
+    # matches, so the tracer may treat the distance as a per-lane tmax —
+    # hits beyond it can never satisfy the predicate.  The cluster
+    # kernel seeds best_t with it (front-to-back pruning starts at the
+    # target, not at INF), and parked lanes get a tiny bound that prunes
+    # the whole scene.  Bit-exact for the consumers (accel.trace).
     occ = {}
-    req_o, req_d, req_tags = [], [], []
-    for (e, l) in pairs:
-        k = jax.random.fold_in(key, e * 16 + l)
-        ev = eye[e - 1]
-        active = (eye_count >= e) & ((light_count >= l) if l > 0 else True)
-        if l == 0:
-            continue
-        if e == 1:
-            lv = light[l - 1]
-            _, _, wi_rows, vis = project(spec, cam, jnp.swapaxes(lv["pos"], 0, 1))
-            wi = jnp.swapaxes(wi_rows, 0, 1)
-            ndl = pv.dot(wi, lv["snormal"])
-            sel = (
-                active & vis & (lv["delta"] != 1.0) & (ndl < 0.0)
-                & (lv["vtype"] == V_SURFACE)
-            )
-            cam_o = jnp.broadcast_to(cam.eye[:, None], (3, N))
-            sh_o = pv.where(sel, cam_o, jnp.full((3, N), PARK))
-            req_o.append(sh_o); req_d.append(wi); req_tags.append((e, l))
-        elif l == 1:
-            u3 = jax.random.uniform(k, (3, N), dtype=jnp.float32)
-            surface = pv.offset_ray(ev["pos"], ev["snormal"])
-            ls = sample_li(scene, surface, u3)
-            sel = active & (ev["delta"] != 1.0) & (ev["vtype"] == V_SURFACE)
-            sh_o = pv.where(sel, surface, jnp.full((3, N), PARK))
-            req_o.append(sh_o); req_d.append(-ls["direction"]); req_tags.append((e, l))
-        else:
-            lv = light[l - 1]
-            sel = (
-                active & (lv["delta"] != 1.0) & (ev["delta"] != 1.0)
-                & (ev["vtype"] == V_SURFACE) & (lv["vtype"] == V_SURFACE)
-            )
-            dirv = ev["pos"] - lv["pos"]
-            dist = jnp.maximum(pv.length(dirv), 1e-6)
-            dirv = dirv * (1.0 / dist)[None]
-            ndl_l = pv.dot(dirv, lv["snormal"])
-            lv_from = pv.offset_ray(
-                lv["pos"], lv["snormal"] * pv.sign_nonzero(ndl_l)[None]
-            )
-            sh_o = pv.where(sel, lv_from, jnp.full((3, N), PARK))
-            req_o.append(sh_o); req_d.append(dirv); req_tags.append((e, l))
+    req_o, req_d, req_tmax, req_sel, req_tags = _shadow_requests(
+        scene, spec, cam, eye, eye_count, light, light_count, key, pairs)
+    # shadow_cap: None -> module default SHADOW_CAP; <= 0 -> disabled
+    sc = SHADOW_CAP if shadow_cap is None else (
+        shadow_cap if shadow_cap > 0 else None)
     if req_tags:
+        # occupancy cap: parked lanes (sel=False) never reach the kernel
+        # grid; their occ entries are undefined, and pass 2 only reads
+        # occ under the same recomputed sel — safe under both tracers.
         t_all, prim_all = trace(
-            scene, jnp.concatenate(req_o, 1), jnp.concatenate(req_d, 1)
+            scene, jnp.concatenate(req_o, 1), jnp.concatenate(req_d, 1),
+            tmax=jnp.concatenate(req_tmax),
+            active=(jnp.concatenate(req_sel) if sc is not None else None),
+            cap_frac=sc,
         )
         for i, tag in enumerate(req_tags):
             occ[tag] = (t_all[i * N:(i + 1) * N], prim_all[i * N:(i + 1) * N])
@@ -911,12 +1066,14 @@ def render_paths(scene, spec: CameraSpec, cam, frame, key, spec_ctx=None,
     N = spec.width * spec.height
     k_eye, k_light, k_conn = jax.random.split(key, 3)
 
-    eye, eye_count = build_eye_path(scene, spec, cam, frame, k_eye, spec_ctx,
-                                    eye_depth=max_depth + 2,
-                                    corrected=corrected)
-    light, light_count = build_light_path(scene, N, k_light, spec_ctx,
-                                          light_depth=max_depth + 1,
-                                          corrected=corrected)
+    k_cam, k_ewalk = jax.random.split(k_eye)
+    o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
+    d = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
+    fpdf0 = _camera_dir_pdf(spec, cam, d) if corrected else None
+    eye, eye_count, light, light_count = build_subpaths(
+        scene, o, d, k_ewalk, k_light, spec_ctx,
+        eye_depth=max_depth + 2, light_depth=max_depth + 1,
+        fpdf0=fpdf0, corrected=corrected)
     radiance, splat = _connections(
         scene, spec, cam, eye, eye_count, light, light_count, k_conn, spec_ctx,
         corrected=corrected, max_depth=max_depth,
@@ -935,9 +1092,10 @@ def render_frame(scene, spec: CameraSpec, cam, frame, key,
                         max_depth=max_depth)
 
 
-@partial(jax.jit, static_argnames=("spec", "n_slices", "max_depth"))
+@partial(jax.jit,
+         static_argnames=("spec", "n_slices", "max_depth", "shadow_cap"))
 def _render_slice(scene, spec: CameraSpec, cam, frame, key, n_slices: int,
-                  slice_i, max_depth: int = MAX_DEPTH):
+                  slice_i, max_depth: int = MAX_DEPTH, shadow_cap=None):
     # slice_i is traced -> one compilation serves every slice
     N = spec.width * spec.height
     ns = N // n_slices
@@ -947,23 +1105,23 @@ def _render_slice(scene, spec: CameraSpec, cam, frame, key, n_slices: int,
     start = slice_i * ns
     o = jax.lax.dynamic_slice_in_dim(o_full, start, ns, axis=1)
     d = jax.lax.dynamic_slice_in_dim(d_full, start, ns, axis=1)
-    eye, eye_count = build_eye_path_rays(
-        scene, o, d, jax.random.fold_in(k_eye, slice_i),
-        eye_depth=max_depth + 2,
-    )
-    light, light_count = build_light_path(
-        scene, ns, jax.random.fold_in(k_light, slice_i),
-        light_depth=max_depth + 1,
+    eye, eye_count, light, light_count = build_subpaths(
+        scene, o, d,
+        jax.random.fold_in(k_eye, slice_i),
+        jax.random.fold_in(k_light, slice_i),
+        eye_depth=max_depth + 2, light_depth=max_depth + 1,
     )
     radiance, splat = _connections(
         scene, spec, cam, eye, eye_count, light, light_count,
         jax.random.fold_in(k_conn, slice_i), max_depth=max_depth,
+        shadow_cap=shadow_cap,
     )
     return jnp.swapaxes(radiance, 0, 1), splat
 
 
 def render_frame_sliced(scene, spec: CameraSpec, cam, frame, key,
-                        n_slices: int = 2, max_depth: int = MAX_DEPTH):
+                        n_slices: int = 2, max_depth: int = MAX_DEPTH,
+                        shadow_cap=None):
     """BDPT frame rendered in `n_slices` sequential lane slices: the
     13-vertex wavefront state of a full 512^2 frame exceeds HBM, so each
     slice runs the whole pipeline on 1/n of the pixels (light-tracing
@@ -973,7 +1131,8 @@ def render_frame_sliced(scene, spec: CameraSpec, cam, frame, key,
     splat_total = jnp.zeros((spec.width, spec.height, 3), jnp.float32)
     for i in range(n_slices):
         rad, splat = _render_slice(scene, spec, cam, frame, key, n_slices,
-                                   jnp.int32(i), max_depth=max_depth)
+                                   jnp.int32(i), max_depth=max_depth,
+                                   shadow_cap=shadow_cap)
         parts.append(rad)
         splat_total = splat_total + splat
     img = jnp.concatenate(parts, axis=0).reshape(spec.width, spec.height, 3)

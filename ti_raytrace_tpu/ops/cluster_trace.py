@@ -201,6 +201,7 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
         rays = jnp.swapaxes(rays_ref[:, :], 0, 1)       # (tile, 8)
         ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
         dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+        t6 = rays[:, 6:7]
     else:
         ox = rays_ref[:, 0:1]
         oy = rays_ref[:, 1:2]
@@ -208,6 +209,7 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
         dx = rays_ref[:, 3:4]
         dy = rays_ref[:, 4:5]
         dz = rays_ref[:, 5:6]
+        t6 = rays_ref[:, 6:7]
 
     if MT_MXU:
         # per-ray matmul vector r = [o x d, d, o, 1, 0...] (TILE, 16);
@@ -228,7 +230,12 @@ def _kernel(rays_ref, cb_ref, sb_ref, order_ref, tri_ref, attr_ref, mt_ref,
 
     ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
-    best_ref[:, 0:1] = jnp.full_like(ox, C.INF)      # t
+    # per-lane tmax seed (ray col 6; <= 0 means unbounded): shadow rays
+    # know their target distance, so best_t starts there and every
+    # cluster/triangle beyond the target prunes from the first group.
+    # Exact for occlusion consumers: a hit beyond tmax can never satisfy
+    # `prim == target`, and t is only read where the prim matches.
+    best_ref[:, 0:1] = jnp.where(t6 > 0.0, t6, jnp.full_like(ox, C.INF))
     best_ref[:, 1:2] = jnp.full_like(ox, -1.0)       # prim id
     best_ref[:, 2:3] = jnp.zeros_like(ox)            # u
     best_ref[:, 3:4] = jnp.zeros_like(ox)            # v
@@ -921,15 +928,44 @@ def _static_order(cb, n_clusters):
     return order, cb_sorted, sb[None]
 
 
+def capacity_lanes(N: int, cap_frac: float, tile: int = None) -> int:
+    """Static kernel capacity for an `active`-masked trace: cap_frac of
+    N rounded UP to a whole tile (callers use this to count overflow
+    kills with the exact same rounding the tracer applies)."""
+    t = tile or TILE
+    n_pad = ((N + t - 1) // t) * t
+    return min(n_pad, max(t, ((int(N * cap_frac) + t - 1) // t) * t))
+
+
 def trace_clustered(
     scene, o, d, interpret: bool = False, sort_rays: bool = True,
     want_attr: bool = False, sort_small: bool = False, shared_origin=None,
-    tile_order: bool = False,
+    tile_order: bool = False, tmax=None, active=None, cap_frac=None,
 ):
     """Closest hit via the cluster kernel + dense analytic-shape tail.
 
     o, d: planar (3, N).  Returns (t, prim, uv_bary (2,N)) or, with
     want_attr, (t, prim, uv_bary, attr (A,N)).
+
+    tmax: optional (N,) per-lane upper bound on the hit distance (shadow
+    rays know their target distance).  Hits at t >= tmax are reported as
+    misses (t = INF, prim = -1); hits below it are the exact closest
+    hit.  Seeding best_t at the bound prunes every cluster beyond the
+    target before the first narrow-phase visit.  Lanes with tmax <= 0
+    are unbounded.
+
+    active + cap_frac: occupancy compaction for sparse wavefronts (BDPT
+    shadow strategies run ~55% parked lanes whose only cost is the
+    per-lane kernel floor — sort, slab sweep, I/O).  Inactive lanes take
+    the PADDING sort key (0xFFFFFFFF > any 30-bit morton key), so the
+    stable coherence sort packs active lanes into a prefix; the kernel
+    grid covers only capacity_lanes(N, cap_frac) lanes and everything
+    beyond unsorts as a miss.  Inactive lanes report miss by
+    construction.  Active lanes beyond capacity are CUT (reported as
+    misses) — callers must size cap_frac with measured headroom and
+    count kills via capacity_lanes (PT's compaction-overflow
+    discipline: production schedules run at 0 kills).  Requires the
+    sorted path (ignored for small unsorted wavefronts).
     """
     N = o.shape[1]
     # small wavefronts run FEWER, WIDER programs (see TILE_WIDE above)
@@ -947,18 +983,44 @@ def trace_clustered(
     if N <= SMALL_WAVEFRONT and not sort_small:
         sort_rays = False
 
+    cap = None
+    if active is not None and cap_frac is not None and sort_rays:
+        cap = capacity_lanes(N, cap_frac, tile)
+        if cap >= n_pad:
+            cap = None  # capacity covers everything: plain sorted trace
+
     if sort_rays:
         # row-record rays, built once and permuted by the coherence sort.
         # padding rays: direction 0 -> safe_inv makes them miss everything
         rays = jnp.zeros((n_pad, 8), jnp.float32)
         rays = rays.at[:N, 0:3].set(jnp.swapaxes(o, 0, 1))
-        rays = rays.at[:N, 3:6].set(jnp.swapaxes(d, 0, 1))
+        d_rows = jnp.swapaxes(d, 0, 1)
+        if active is not None:
+            # inactive lanes get a zero direction -> safe_inv misses
+            # everything: the miss contract holds no matter what ray
+            # data parked lanes carry (they may land inside capacity
+            # when occupancy is below it)
+            d_rows = d_rows * active[:, None]
+        rays = rays.at[:N, 3:6].set(d_rows)
+        if tmax is not None:
+            rays = rays.at[:N, 6].set(tmax)
         key_o, key_d = _coherence_key(scene, o, d)
+        if active is not None:
+            # parked lanes sort with the padding (morton keys are 30-bit,
+            # 0xFFFFFFFF is reserved): actives pack into a dense prefix
+            key_o = jnp.where(active, key_o, jnp.uint32(0xFFFFFFFF))
+            key_d = jnp.where(active, key_d, jnp.uint32(0xFFFFFFFF))
         key_o = jnp.pad(key_o, (0, n_pad - N), constant_values=jnp.uint32(0xFFFFFFFF))
         key_d = jnp.pad(key_d, (0, n_pad - N), constant_values=jnp.uint32(0xFFFFFFFF))
         idx = jnp.arange(n_pad, dtype=jnp.int32)
         _, _, order = jax.lax.sort((key_o, key_d, idx), num_keys=2, is_stable=True)
         rays = jnp.take(rays, order, axis=0)
+        if cap is not None:
+            # actives sort strictly before parked/padding lanes (30-bit
+            # morton keys < the reserved 0xFFFFFFFF), so the first `cap`
+            # rows hold every active lane up to capacity; the kernel grid
+            # covers only these, and the cut tail unsorts as misses below
+            rays = rays[:cap]
     else:
         # PLANAR (8, n_pad) rays: a pure concat of the caller's planar
         # wavefront.  The (N, 8) record operand here couples the pallas
@@ -966,9 +1028,11 @@ def trace_clustered(
         # whole bounce body lane-major (+35 ms/frame, scripts/exp_r4b/c)
         # — the kernel transposes each (8, tile) block instead.
         pad = ((0, 0), (0, n_pad - N))
+        row6 = (jnp.pad(tmax[None], pad) if tmax is not None
+                else jnp.zeros((1, n_pad), jnp.float32))
         rays = jnp.concatenate(
-            [jnp.pad(o, pad), jnp.pad(d, pad),
-             jnp.zeros((2, n_pad), jnp.float32)],
+            [jnp.pad(o, pad), jnp.pad(d, pad), row6,
+             jnp.zeros((1, n_pad), jnp.float32)],
             axis=0,
         )
 
@@ -978,7 +1042,8 @@ def trace_clustered(
     n_clusters = int(cb.shape[1])
     block = int(tri.shape[1]) // n_clusters
 
-    n_tiles = n_pad // tile
+    n_run = cap if cap is not None else n_pad
+    n_tiles = n_run // tile
     if shared_origin is not None and PER_TILE_ORDER:
         # single-origin wavefront (camera rays): one shared front-to-back
         # order.  Ray-independent, so it applies even with
@@ -1027,6 +1092,14 @@ def trace_clustered(
         )
         if not want_attr:
             out = out[:, 0:4]  # unsort-gather only what the caller reads
+        if cap is not None:
+            # lanes beyond capacity (parked, plus any overflow kills the
+            # caller accounts for) unsort as misses.  t = 0 (not INF) so
+            # the analytic-shape tail below can't resurrect a cut lane
+            # with a sphere-only hit; the final miss restore reports INF
+            miss = jnp.zeros((n_pad - cap, out.shape[1]), out.dtype)
+            miss = miss.at[:, 1].set(-1.0)
+            out = jnp.concatenate([out, miss], axis=0)
         out = jnp.take(out, inv, axis=0)
         t = out[:N, 0]
         prim = out[:N, 1].astype(jnp.int32)
@@ -1063,6 +1136,10 @@ def trace_clustered(
         hit = (
             (stype == C.SHAPE_SPHERE) & (disc2 < radius * radius) & (ts > 0.0) & (ts < t)
         )
+        if active is not None:
+            # this dense tail sees the caller's raw rays — parked lanes
+            # must stay misses here too
+            hit = hit & active
         t = jnp.where(hit, ts, t)
         prim = jnp.where(hit, pid, prim)
         uv = jnp.where(hit[None, :], 0.0, uv)
@@ -1070,6 +1147,12 @@ def trace_clustered(
             # static pid -> a plain column slice, not a gather
             attr_out = jnp.where(hit[None, :], scene.prim_attr[:, pid][:, None],
                                  attr_out)
+
+    if tmax is not None or cap is not None:
+        # restore the miss contract: bounded lanes whose closest hit lay
+        # beyond tmax carry t == tmax with prim == -1 (and capacity-cut
+        # lanes carry t == 0); report t = INF
+        t = jnp.where(prim < 0, C.INF, t)
 
     if want_attr:
         return t, prim, uv, attr_out
