@@ -243,10 +243,75 @@ def test_cluster_active_capacity(sphere_scene):
     assert (prim2[~a] == -1).all()
 
 
+@pytest.fixture(scope="module")
+def three_chunk_scene():
+    """~40k-tri scene padding to EXACTLY 3 cluster-chunks (384 clusters).
+
+    Regression scaffold for the refresh-clamp bug: refresh clamped to
+    min(REFRESH, n_chunks) could yield 3, which does not divide
+    CHUNK // GROUP (4); the group loop then floored to one iteration and
+    clusters 96-127 of every chunk were never intersection-tested."""
+    from ti_raytrace_tpu.io.meshgen import split2
+    from ti_raytrace_tpu.io.obj import load_obj
+
+    mesh = load_obj(asset_path("model/Teapot.obj"))
+    pos = np.concatenate(mesh.tri_pos)
+    nrm = np.concatenate(mesh.tri_normal)
+    uv = np.concatenate(mesh.tri_uv)
+    pos, nrm, uv = split2(pos, nrm, uv)          # 50,400 tris
+    pos, nrm, uv = pos[:40000], nrm[:40000], uv[:40000]
+    b = SceneBuilder()
+    b.add_triangles(pos, nrm, uv,
+                    MaterialRec(C.MAT_DISNEY, color=[0.7, 0.7, 0.7]))
+    b.add_shape(sphere_shape([0.0, 20.0, 0.0], 5.0),
+                MaterialRec(C.MAT_LIGHT, color=[50.0] * 3))
+    return b.build()
+
+
+def test_cluster_three_chunk_oracle(three_chunk_scene):
+    """Every chunk's full 128 clusters must be swept when the refresh
+    period is clamped on a 3-chunk scene (ADVICE r4 high: refresh=3
+    silently dropped clusters 96-127 of each chunk)."""
+    from ti_raytrace_tpu.ops import cluster_trace as ct
+
+    scene = three_chunk_scene
+    n_clusters = scene.cluster_bounds.shape[1]
+    assert n_clusters // ct.CHUNK == 3, (
+        f"fixture must pad to exactly 3 chunks, got {n_clusters} clusters"
+    )
+    o, d = _rays(scene, 192, seed=21)
+    t, prim, _ = trace_clustered(scene, o, d, interpret=True)
+    t_ref, p_ref = trace_closest(
+        scene, jnp.swapaxes(o, 0, 1), jnp.swapaxes(d, 0, 1)
+    )
+    t, prim = np.asarray(t), np.asarray(prim)
+    t_ref, p_ref = np.asarray(t_ref), np.asarray(p_ref)
+    hit = t_ref < 1e5
+    assert hit.sum() > 30
+    # every oracle hit must be found (the bug reported hits as misses)
+    assert ((t < 1e5) == hit).all()
+    np.testing.assert_allclose(
+        np.where(hit, t, 0.0), np.where(hit, t_ref, 0.0),
+        rtol=1e-4, atol=1e-4,
+    )
+    mismatch = hit & (prim != p_ref)
+    assert mismatch.mean() < 0.02
+    if mismatch.any():
+        np.testing.assert_allclose(t[mismatch], t_ref[mismatch],
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_attr_split3_exact(sphere_scene):
     """The bf16x3 decomposition must reproduce the f32 attr table bit for
-    bit — the ATTR_SPLIT3 kernel path's exactness precondition."""
-    a3 = np.asarray(sphere_scene.cluster_attr3, dtype=np.float32)
+    bit — the ATTR_SPLIT3 kernel path's exactness precondition.  The
+    scene-resident table is a placeholder while ATTR_SPLIT3 is off
+    (measured loss; no HBM spent on the disabled path), so the
+    decomposition is exercised directly."""
+    from ti_raytrace_tpu.scene.data import _attr_split3
+
+    a3 = np.asarray(
+        _attr_split3(np.asarray(sphere_scene.cluster_attr)), np.float32
+    )
     A = sphere_scene.cluster_attr.shape[1]
     rebuilt = a3[:, 0:A] + a3[:, A:2 * A] + a3[:, 2 * A:3 * A]
     np.testing.assert_array_equal(

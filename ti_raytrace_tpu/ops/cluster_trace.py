@@ -1039,6 +1039,12 @@ def trace_clustered(
     cb = scene.cluster_bounds
     tri = scene.cluster_tri
     attr = scene.cluster_attr3 if ATTR_SPLIT3 else scene.cluster_attr
+    if ATTR_SPLIT3:
+        assert attr.shape[0] > 0, (
+            "ATTR_SPLIT3 enabled but the scene holds the placeholder "
+            "split table — rebuild the scene with the flag on "
+            "(scene/data.device_scene gates its construction)"
+        )
     n_clusters = int(cb.shape[1])
     block = int(tri.shape[1]) // n_clusters
 
@@ -1078,8 +1084,21 @@ def trace_clustered(
         tri = _origin_mt_table(tri, shared_origin)
     # refresh period clamped to the chunk count: on single-chunk scenes
     # a whole-chunk refresh derives every candidate from best = INF and
-    # disables per-ray front-to-back pruning (see the REFRESH note)
-    refresh = max(1, min(REFRESH, n_clusters // CHUNK))
+    # disables per-ray front-to-back pruning (see the REFRESH note).
+    # MUST also divide CHUNK // GROUP: the group loop runs
+    # CHUNK // (GROUP * refresh) iterations, and a non-divisor (e.g. 3
+    # on a 3-chunk scene) floors that bound so the tail groups of every
+    # chunk are never intersection-tested — silent dropped geometry
+    # (reproduced: 40k-tri scene, 18/174 oracle hits lost).  And the
+    # non-bitmask narrow phase has no multi-group candidate mask at all,
+    # so it requires refresh == 1.
+    if NSUB == 1 and BITMASK_NARROW and not DIAG_NO_NARROW:
+        n_groups = CHUNK // GROUP
+        refresh = max(1, min(REFRESH, n_clusters // CHUNK, n_groups))
+        while n_groups % refresh:
+            refresh -= 1
+    else:
+        refresh = 1
     out = _run_kernel(
         rays, cb_sorted, sb_sorted, order_t, tri, attr, mt,
         n_clusters, block, want_attr, interpret, tile,

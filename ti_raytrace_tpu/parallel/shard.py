@@ -303,7 +303,7 @@ def render_film_frames_merged_sharded(scene, spec, cam, fl: LaneFilm,
         my = jax.lax.axis_index(AXIS)
         hdr2, frame2, key2, ov = _merged_lane_shard(
             scene_, spec, cam_, hdr_, frame_, key_, my, px_, py_,
-            n_frames, group, compaction, nee,
+            n_frames, group, compaction, nee, max_depth=max_depth,
         )
         # frame/key advance identically on every device; overflow is the
         # global kill count (the estimator-bias telemetry)

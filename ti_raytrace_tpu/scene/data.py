@@ -118,6 +118,12 @@ def _attr_split3(attr: np.ndarray) -> np.ndarray:
     return np.concatenate([a1, a2, a3], axis=1)
 
 
+def _attr_split3_enabled() -> bool:
+    from ti_raytrace_tpu.ops.cluster_trace import ATTR_SPLIT3
+
+    return bool(ATTR_SPLIT3)
+
+
 def device_scene(host: dict) -> SceneData:
     """Assemble a SceneData pytree from a dict of numpy arrays."""
     def arr(x, dt):
@@ -155,7 +161,16 @@ def device_scene(host: dict) -> SceneData:
         cluster_tri=arr(host["cluster_tri"], jnp.float32),
         cluster_attr=arr(host["cluster_attr"], jnp.float32),
         cluster_mt=arr(host["cluster_mt"], jnp.float32),
-        cluster_attr3=arr(_attr_split3(host["cluster_attr"]), jnp.bfloat16),
+        # the bf16x3 split table is 1.5x the f32 attr table in HBM and
+        # only the (measured-loss, disabled) ATTR_SPLIT3 kernel path
+        # reads it — build it only when that path is on; otherwise a
+        # zero-row placeholder keeps the pytree structure stable
+        cluster_attr3=arr(
+            _attr_split3(host["cluster_attr"]) if _attr_split3_enabled()
+            else np.zeros((0, 3 * np.asarray(host["cluster_attr"]).shape[1]),
+                          np.float32),
+            jnp.bfloat16,
+        ),
         aabb_min=arr(host["aabb_min"], jnp.float32),
         aabb_max=arr(host["aabb_max"], jnp.float32),
     )
