@@ -68,7 +68,9 @@ def main(argv=None):
                          "the camera restarts progressive accumulation")
     args = ap.parse_args(argv)
 
-    scene, cfg = EXAMPLES[args.example]()
+    from ti_raytrace_tpu.examples.scenes import example_cached
+
+    scene, cfg = example_cached(args.example)
     spec, cam = make_camera(scene, cfg, args.size, args.size)
     compaction = cfg.compaction
     if compaction == "auto":
@@ -146,6 +148,7 @@ def main(argv=None):
         if preview is not None:
             srgb = film_mod.to_srgb(fl, exposure=cfg.exposure)
             preview.show(np.asarray(srgb * 255.0, dtype=np.uint8))
+            preview.set_hud(f, args.frames, meter.fps)
             action = preview.poll()
             if action == "quit":
                 break

@@ -255,6 +255,65 @@ EXAMPLES = {
 }
 
 
+def cached_host_build(key: str, make_host, cache: bool = True) -> dict:
+    """Host-array dict from `make_host()` with an npz disk cache under
+    .cache/, keyed by `key` AND scene.build.BUILD_FORMAT_VERSION (same
+    contract as benchmark_100k's cache: bump the version constant when
+    the builder/packs/cluster layout changes).  Skips the mesh/BVH/
+    cluster build and — decisively for the multichip dryrun's cold
+    budget — its per-process jit compiles (karras topology alone costs
+    minutes under the dryrun's 5-way CPU contention)."""
+    import os
+
+    from ti_raytrace_tpu.scene.build import BUILD_FORMAT_VERSION
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".cache", f"scene_{key}_v{BUILD_FORMAT_VERSION}.npz",
+    )
+    if cache and os.path.exists(path):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    host = make_host()
+    if cache:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        # atomic publish: concurrent dryrun sections may build the same
+        # scene; a torn npz must never be observable
+        tmp = f"{path}.{os.getpid()}.tmp.npz"  # np.savez appends .npz
+        np.savez(tmp, **host)
+        os.replace(tmp, path)
+    return host
+
+
+def example_cached(name: str, cache: bool = True):
+    """EXAMPLES[name]() with the built host arrays cached on disk.
+
+    Wraps the example's single SceneBuilder.build() call in
+    cached_host_build, so repeat runs (CLI re-renders, the five dryrun
+    section subprocesses) load an npz instead of re-running the ~1-10 s
+    build and re-compiling its jits in every fresh process."""
+    from ti_raytrace_tpu.scene.data import device_scene
+
+    if name == "benchmark_100k":  # has its own target-keyed cache
+        return benchmark_100k(cache=cache)
+
+    orig = SceneBuilder.build
+
+    def cached_build(self, smooth_normals=False, spectral=False):
+        host = cached_host_build(
+            name,
+            lambda: self.build_host(smooth_normals, spectral),
+            cache=cache,
+        )
+        return device_scene(host)
+
+    SceneBuilder.build = cached_build
+    try:
+        return EXAMPLES[name]()
+    finally:
+        SceneBuilder.build = orig
+
+
 def framing_params(scene, cfg: ExampleConfig):
     """The example's framing rule as orbit-rig parameters
     (target, yaw, pitch, scale) — cornell_box.py:26-30 etc."""
