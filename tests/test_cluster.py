@@ -23,12 +23,20 @@ from ti_raytrace_tpu.scene.build import MaterialRec, SceneBuilder, sphere_shape
 @pytest.fixture(scope="module")
 def sphere_scene():
     # Teapot: 25200 tris, all unique (sphere.obj triplicates most faces,
-    # which makes prim-identity vs the oracle ambiguous on every tie)
-    b = SceneBuilder()
-    b.add_obj(asset_path("model/Teapot.obj"))
-    b.add_shape(sphere_shape([0.0, 20.0, 0.0], 5.0),
-                MaterialRec(C.MAT_LIGHT, color=[50.0] * 3))
-    return b.build()
+    # which makes prim-identity vs the oracle ambiguous on every tie).
+    # Same geometry/material as the dryrun's cached teapot scene ->
+    # shares its npz (skips the ~15 s build on warm runs).
+    from ti_raytrace_tpu.examples.scenes import cached_host_build
+    from ti_raytrace_tpu.scene.data import device_scene
+
+    def make_host():
+        b = SceneBuilder()
+        b.add_obj(asset_path("model/Teapot.obj"))
+        b.add_shape(sphere_shape([0.0, 20.0, 0.0], 5.0),
+                    MaterialRec(C.MAT_LIGHT, color=[50.0] * 3))
+        return b.build_host()
+
+    return device_scene(cached_host_build("dryrun_teapot", make_host))
 
 
 def _rays(scene, n, seed=0):
@@ -254,18 +262,24 @@ def three_chunk_scene():
     from ti_raytrace_tpu.io.meshgen import split2
     from ti_raytrace_tpu.io.obj import load_obj
 
-    mesh = load_obj(asset_path("model/Teapot.obj"))
-    pos = np.concatenate(mesh.tri_pos)
-    nrm = np.concatenate(mesh.tri_normal)
-    uv = np.concatenate(mesh.tri_uv)
-    pos, nrm, uv = split2(pos, nrm, uv)          # 50,400 tris
-    pos, nrm, uv = pos[:40000], nrm[:40000], uv[:40000]
-    b = SceneBuilder()
-    b.add_triangles(pos, nrm, uv,
-                    MaterialRec(C.MAT_DISNEY, color=[0.7, 0.7, 0.7]))
-    b.add_shape(sphere_shape([0.0, 20.0, 0.0], 5.0),
-                MaterialRec(C.MAT_LIGHT, color=[50.0] * 3))
-    return b.build()
+    from ti_raytrace_tpu.examples.scenes import cached_host_build
+    from ti_raytrace_tpu.scene.data import device_scene
+
+    def make_host():
+        mesh = load_obj(asset_path("model/Teapot.obj"))
+        pos = np.concatenate(mesh.tri_pos)
+        nrm = np.concatenate(mesh.tri_normal)
+        uv = np.concatenate(mesh.tri_uv)
+        pos, nrm, uv = split2(pos, nrm, uv)          # 50,400 tris
+        pos, nrm, uv = pos[:40000], nrm[:40000], uv[:40000]
+        b = SceneBuilder()
+        b.add_triangles(pos, nrm, uv,
+                        MaterialRec(C.MAT_DISNEY, color=[0.7, 0.7, 0.7]))
+        b.add_shape(sphere_shape([0.0, 20.0, 0.0], 5.0),
+                    MaterialRec(C.MAT_LIGHT, color=[50.0] * 3))
+        return b.build_host()
+
+    return device_scene(cached_host_build("three_chunk_teapot", make_host))
 
 
 def test_cluster_three_chunk_oracle(three_chunk_scene):

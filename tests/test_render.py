@@ -136,9 +136,10 @@ def test_sharded_matches_shape(cornell):
     mesh = make_mesh()
     assert mesh.size == 8  # conftest forces 8 CPU devices
     scene_r = replicate_scene(scene, mesh)
-    img = render_frame_sharded(
-        pt_rgb.trace_paths, scene_r, spec, cam, jnp.int32(1), jax.random.PRNGKey(0), mesh
-    )
+    # one outer jit: eager ops on 8-way-sharded values cost ~100 ms each
+    img = jax.jit(lambda s, c, fr, k: render_frame_sharded(
+        pt_rgb.trace_paths, s, spec, c, fr, k, mesh
+    ))(scene_r, cam, jnp.int32(1), jax.random.PRNGKey(0))
     img = np.asarray(img)
     assert img.shape == (32, 32, 3)
     assert img.mean() > 0.01
@@ -159,9 +160,13 @@ def _sharded_bdpt_mirror(cornell, max_depth: int):
     mesh = make_mesh()
     scene_r = replicate_scene(scene, mesh)
     key = jax.random.PRNGKey(5)
+    # ONE outer jit: eagerly-dispatched ops on 8-way-sharded values cost
+    # ~100 ms each on the virtual-device CPU backend — unjitted, this
+    # call alone took 7 of the quick tier's 15 minutes (VERDICT r4 #4)
     img_sharded = np.asarray(
-        render_bdpt_frame_sharded(scene_r, spec, cam, jnp.int32(1), key, mesh,
-                                  max_depth=max_depth)
+        jax.jit(lambda s, c, fr, k: render_bdpt_frame_sharded(
+            s, spec, c, fr, k, mesh, max_depth=max_depth)
+        )(scene_r, cam, jnp.int32(1), key)
     )
 
     # single-device mirror with the exact shard key discipline
@@ -174,20 +179,25 @@ def _sharded_bdpt_mirror(cornell, max_depth: int):
     ns = N // mesh.size
     parts = []
     splat_total = jnp.zeros((spec.width, spec.height, 3), jnp.float32)
-    for i in range(mesh.size):
-        sl = slice(i * ns, (i + 1) * ns)
+
+    @jax.jit  # same shapes every shard: compile once, execute 8x
+    def one_shard(o_sl, d_sl, i):
         eye, eye_count = bdpt_rgb.build_eye_path_rays(
-            scene, o[:, sl], d[:, sl], jax.random.fold_in(k_eye, i),
+            scene, o_sl, d_sl, jax.random.fold_in(k_eye, i),
             eye_depth=max_depth + 2,
         )
         light, light_count = bdpt_rgb.build_light_path(
             scene, ns, jax.random.fold_in(k_light, i),
             light_depth=max_depth + 1,
         )
-        radiance, splat = bdpt_rgb._connections(
+        return bdpt_rgb._connections(
             scene, spec, cam, eye, eye_count, light, light_count,
             jax.random.fold_in(k_conn, i), max_depth=max_depth,
         )
+
+    for i in range(mesh.size):
+        sl = slice(i * ns, (i + 1) * ns)
+        radiance, splat = one_shard(o[:, sl], d[:, sl], jnp.int32(i))
         parts.append(jnp.swapaxes(radiance, 0, 1))
         splat_total = splat_total + splat
     img_ref = np.asarray(
@@ -277,13 +287,16 @@ def test_compaction_matches_exact():
     scene, cfg = EXAMPLES["single_model"]()
     spec, cam = make_camera(scene, cfg, 32, 32)
 
-    def render(compaction, n=12):
+    def render(compaction, n=6):
+        # max_depth 6: the parity property is depth-independent and the
+        # full 15-bounce graph doubles this test's compile time
         fl = film_mod.new_film(32, 32, seed=11)
         for _ in range(n):
             fl = film_mod.accumulate(
                 fl,
                 pt_rgb.render_frame(
-                    scene, spec, cam, fl.frame, fl.key, compaction
+                    scene, spec, cam, fl.frame, fl.key, compaction,
+                    max_depth=6,
                 ),
             )
         return np.asarray(fl.hdr)
@@ -306,10 +319,11 @@ def test_merged_group1_matches_sequential():
     sched = ((1, 2), (4, 8))
 
     fl_s = film_mod.new_film(32, 32, seed=13)
-    fl_s, ov_s = pt_rgb.render_film_frames(scene, spec, cam, fl_s, 2, sched, nee)
+    fl_s, ov_s = pt_rgb.render_film_frames(scene, spec, cam, fl_s, 2, sched,
+                                           nee, max_depth=6)
     fl_m = film_mod.new_film(32, 32, seed=13)
     fl_m, ov_m = pt_rgb.render_film_frames_merged(
-        scene, spec, cam, fl_m, 2, 1, sched, nee
+        scene, spec, cam, fl_m, 2, 1, sched, nee, max_depth=6
     )
     assert int(fl_m.frame) == int(fl_s.frame) == 2
     np.testing.assert_array_equal(
@@ -322,8 +336,12 @@ def test_merged_group1_matches_sequential():
     )
 
 
+@pytest.mark.slow
 def test_merged_group2_consistent():
     """group=2 merging changes only the RNG stream of merged bounces.
+    SLOW tier: group-2 merged bookkeeping is already covered bit-exactly
+    in the quick tier by test_shard_production's per-shard mirror; this
+    adds the merged-vs-sequential statistical cross-check.
     Camera rays stay on the film key chain, so pixels whose primary rays
     miss in every frame are BIT-identical (sharp check of the g*N pixel
     bookkeeping); hit pixels agree statistically."""
@@ -333,13 +351,14 @@ def test_merged_group2_consistent():
     spec, cam = make_camera(scene, cfg, 32, 32)
     nee = pt_rgb.has_nee_materials(scene)
     sched = ((1, 2), (4, 8))
-    n = 8
+    n = 4
 
     fl_s = film_mod.new_film(32, 32, seed=13)
-    fl_s, _ = pt_rgb.render_film_frames(scene, spec, cam, fl_s, n, sched, nee)
+    fl_s, _ = pt_rgb.render_film_frames(scene, spec, cam, fl_s, n, sched, nee,
+                                        max_depth=6)
     fl_m = film_mod.new_film(32, 32, seed=13)
     fl_m, ov = pt_rgb.render_film_frames_merged(
-        scene, spec, cam, fl_m, n, 2, sched, nee
+        scene, spec, cam, fl_m, n, 2, sched, nee, max_depth=6
     )
     a = np.asarray(fl_s.hdr)
     b = np.asarray(fl_m.hdr)
@@ -349,7 +368,8 @@ def test_merged_group2_consistent():
     same = np.isclose(a, b, rtol=1e-4).all(axis=-1)
     assert same.mean() > 0.2, same.mean()
     # overall energy agrees despite the different merged-bounce stream
-    assert abs(b.mean() - a.mean()) / max(a.mean(), 1e-9) < 0.15
+    # (tolerance sized for the 4-frame run: same.mean() is n-independent)
+    assert abs(b.mean() - a.mean()) / max(a.mean(), 1e-9) < 0.2
 
 
 def test_merged_pay_divisors_exact():
@@ -365,11 +385,12 @@ def test_merged_pay_divisors_exact():
 
     fl_p = film_mod.new_film(32, 32, seed=13)
     fl_p, ov_p = pt_rgb.render_film_frames_merged(
-        scene, spec, cam, fl_p, 4, 2, sched, nee
+        scene, spec, cam, fl_p, 2, 2, sched, nee, max_depth=6
     )
     fl_f = film_mod.new_film(32, 32, seed=13)
     fl_f, ov_f = pt_rgb.render_film_frames_merged(
-        scene, spec, cam, fl_f, 4, 2, sched, nee, pay_divisors=(1,)
+        scene, spec, cam, fl_f, 2, 2, sched, nee, pay_divisors=(1,),
+        max_depth=6
     )
     assert int(ov_p) == int(ov_f) == 0
     np.testing.assert_allclose(

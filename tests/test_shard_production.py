@@ -64,13 +64,21 @@ def test_sharded_merged_matches_per_shard(cornell):
     py = jnp.asarray((perm % H).astype(np.float32))
     ns = N // mesh.size
     hdr_parts = []
-    for i in range(mesh.size):
-        sl = slice(i * ns, (i + 1) * ns)
-        hdr_i, frame_i, key_i, ov_i = _merged_lane_shard(
-            scene, spec, cam, jnp.zeros((3, ns), jnp.float32),
-            frame0, key0, jnp.int32(i), px[sl], py[sl],
+
+    # one jit, same shapes per shard: compile once, execute 8x (unjitted
+    # this mirror loop was 111 s of the quick tier, VERDICT r4 #4)
+    @jax.jit
+    def one_shard(scene_, cam_, key_, i, px_sl, py_sl):
+        return _merged_lane_shard(
+            scene_, spec, cam_, jnp.zeros((3, ns), jnp.float32),
+            frame0, key_, i, px_sl, py_sl,
             KF, GROUP, COMPACTION, True,
         )
+
+    for i in range(mesh.size):
+        sl = slice(i * ns, (i + 1) * ns)
+        hdr_i, frame_i, key_i, ov_i = one_shard(
+            scene, cam, key0, jnp.int32(i), px[sl], py[sl])
         hdr_parts.append(np.asarray(hdr_i))
         assert int(frame_i) == KF
     hdr_ref = np.concatenate(hdr_parts, axis=1)

@@ -35,6 +35,11 @@ class ExampleConfig:
     # wavefront compaction schedule for pt_rgb (None = exact; scenes whose
     # paths terminate early gain 3-6x with no measurable bias)
     compaction: tuple | None = None
+    # merged-group size for the production path (render_film_frames_merged):
+    # >1 routes the CLI onto merged multi-frame dispatches with the
+    # compaction schedule above (requires one).  None/1 = plain batched
+    # frames.  Per-scene values are measured (docs/PERF.md).
+    group: int | None = None
 
 
 def _add_sphere_light(b: SceneBuilder, emission=50.0):

@@ -834,15 +834,18 @@ def trace_paths(scene, o, d, key, max_depth: int = MAX_DEPTH,
     return radiance
 
 
-@partial(jax.jit, static_argnames=("spec", "compaction", "nee", "corrected"))
+@partial(jax.jit, static_argnames=("spec", "compaction", "nee", "corrected",
+                                   "max_depth"))
 def render_frame(scene, spec: CameraSpec, cam, frame, key, compaction=None,
-                 nee: bool = True, corrected: bool = False):
+                 nee: bool = True, corrected: bool = False,
+                 max_depth: int = MAX_DEPTH):
     """One progressive frame (1 spp): returns (W, H, 3) radiance."""
     k_cam, k_path = jax.random.split(key)
     o, d, inv = _camera_rays(spec, cam, frame, k_cam)
     radiance = trace_paths(scene, o, d, k_path, compaction=compaction, nee=nee,
                            corrected=corrected, camera_origin=o[:, 0],
-                           coherent_camera=inv is not None)
+                           coherent_camera=inv is not None,
+                           max_depth=max_depth)
     radiance = _to_raster(radiance, inv)
     return jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)
 
@@ -867,10 +870,12 @@ def render_frame_stats(scene, spec: CameraSpec, cam, frame, key,
     return img, overflow
 
 
-@partial(jax.jit, static_argnames=("spec", "n_frames", "compaction", "nee"),
+@partial(jax.jit, static_argnames=("spec", "n_frames", "compaction", "nee",
+                                   "max_depth"),
          donate_argnums=(3,))
 def render_film_frames(scene, spec: CameraSpec, cam, film, n_frames: int = 4,
-                       compaction=None, nee: bool = True):
+                       compaction=None, nee: bool = True,
+                       max_depth: int = MAX_DEPTH):
     """n progressive frames accumulated into the film in ONE dispatch.
 
     The frames run SEQUENTIALLY inside a fori_loop — this amortizes the
@@ -895,7 +900,7 @@ def render_film_frames(scene, spec: CameraSpec, cam, film, n_frames: int = 4,
         radiance, ov = trace_paths(
             scene, o, d, k_path, compaction=compaction, nee=nee,
             return_overflow=True, camera_origin=o[:, 0],
-            coherent_camera=inv is not None,
+            coherent_camera=inv is not None, max_depth=max_depth,
         )
         radiance = _to_raster(radiance, inv)
         img = jnp.swapaxes(radiance, 0, 1).reshape(spec.width, spec.height, 3)
@@ -1040,11 +1045,12 @@ def _render_group(scene, spec, cam, frame0, key0, group: int, compaction,
 
 
 @partial(jax.jit, static_argnames=("spec", "n_frames", "group", "compaction",
-                                   "nee", "pay_divisors"), donate_argnums=(3,))
+                                   "nee", "pay_divisors", "max_depth"),
+         donate_argnums=(3,))
 def render_film_frames_merged(scene, spec: CameraSpec, cam, film,
                               n_frames: int = 16, group: int = 4,
                               compaction=None, nee: bool = True,
-                              pay_divisors=None):
+                              pay_divisors=None, max_depth: int = MAX_DEPTH):
     """n progressive frames in ONE dispatch, traced in merged groups.
 
     Like render_film_frames, but each group of `group` frames shares its
@@ -1063,7 +1069,7 @@ def render_film_frames_merged(scene, spec: CameraSpec, cam, film,
         fl, ov_total = state
         img_sum, ov = _render_group(
             scene, spec, cam, fl.frame, fl.key, group, tuple(compaction), nee,
-            pay_divisors=pay_divisors,
+            pay_divisors=pay_divisors, max_depth=max_depth,
         )
         return film_mod.accumulate_group(fl, img_sum, group), ov_total + ov
 

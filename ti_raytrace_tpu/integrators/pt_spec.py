@@ -495,10 +495,12 @@ def trace_paths_spec(scene, sdata: SpectralData, o, d, key,
     return rgb
 
 
-@partial(jax.jit, static_argnames=("spec", "n_frames", "compaction"),
+@partial(jax.jit, static_argnames=("spec", "n_frames", "compaction",
+                                   "max_depth"),
          donate_argnums=(4,))
 def render_film_frames_spec(scene, sdata: SpectralData, spec: CameraSpec,
-                            cam, film, n_frames: int = 4, compaction=None):
+                            cam, film, n_frames: int = 4, compaction=None,
+                            max_depth: int = MAX_DEPTH):
     """n spectral frames accumulated into the film in ONE dispatch —
     amortizes the ~30 ms tunnel dispatch floor exactly like
     pt_rgb.render_film_frames (the spectral scenes' biggest per-frame
@@ -516,7 +518,8 @@ def render_film_frames_spec(scene, sdata: SpectralData, spec: CameraSpec,
         d = jnp.swapaxes(ray_directions(spec, cam, fl.frame, k_cam), 0, 1)
         rgb, ov = trace_paths_spec(scene, sdata, o, d, k_path,
                                    compaction=compaction,
-                                   return_overflow=True)
+                                   return_overflow=True,
+                                   max_depth=max_depth)
         img = jnp.swapaxes(rgb, 0, 1).reshape(spec.width, spec.height, 3)
         return film_mod.accumulate(fl, img), ov_total + ov
 
@@ -524,7 +527,8 @@ def render_film_frames_spec(scene, sdata: SpectralData, spec: CameraSpec,
 
 
 def make_render_frame(turbidity=3.0, albedo=0.5, elevation=0.17,
-                      emitter_scale=1.0, compaction=None):
+                      emitter_scale=1.0, compaction=None,
+                      max_depth: int = MAX_DEPTH):
     """Build a jitted render_frame closing over the spectral tables."""
     sdata = make_spectral_data(turbidity, albedo, elevation, emitter_scale)
 
@@ -534,7 +538,7 @@ def make_render_frame(turbidity=3.0, albedo=0.5, elevation=0.17,
         o = jnp.swapaxes(ray_origins(spec, cam), 0, 1)
         d = jnp.swapaxes(ray_directions(spec, cam, frame, k_cam), 0, 1)
         rgb = trace_paths_spec(scene, sdata, o, d, k_path,
-                               compaction=compaction)
+                               compaction=compaction, max_depth=max_depth)
         return jnp.swapaxes(rgb, 0, 1).reshape(spec.width, spec.height, 3)
 
     return render_frame
