@@ -87,7 +87,7 @@ def main(argv=None):
     # (90.9 -> ~35 ms/frame measured).  Preview mode keeps single-frame
     # dispatches (per-frame window updates + orbit response).
     render_batch = None
-    batch_cap = 8
+    batch_cap = cfg.batch or 8
     if integ_name == "pt_rgb":
         from ti_raytrace_tpu.integrators import pt_rgb
 
@@ -99,7 +99,7 @@ def main(argv=None):
         # tunnel floor further; odd tails fall back to the plain path.
         _group = cfg.group or 0
         _merged = bool(compaction) and _group > 1
-        if _merged:
+        if _merged and not cfg.batch:
             batch_cap = 64
 
         def render_batch(fl, n):

@@ -40,6 +40,9 @@ class ExampleConfig:
     # compaction schedule above (requires one).  None/1 = plain batched
     # frames.  Per-scene values are measured (docs/PERF.md).
     group: int | None = None
+    # frames per dispatch for the CLI loop (None = run.py default).  The
+    # axon tunnel has a ~30 ms dispatch floor; per-scene values measured.
+    batch: int | None = None
 
 
 def _add_sphere_light(b: SceneBuilder, emission=50.0):
@@ -54,7 +57,19 @@ def cornell_box():
     """PT_RGB on the classic box (example/cornell_box.py)."""
     b = SceneBuilder()
     b.add_obj(asset_path("model/cornell_box.obj"))
-    return b.build(), ExampleConfig("cornell_box", "pt_rgb", scale_mult=0.8)
+    return b.build(), ExampleConfig(
+        "cornell_box",
+        "pt_rgb",
+        scale_mult=0.8,
+        # measured r5 (scripts/exp_r9c.py, one process, overflow-gated):
+        # plain KF=32 at this schedule = 28.6 ms/frame vs 58.7 at the old
+        # KF=8 uncompacted path; the tighter ((2,2),(4,4),(6,8),(9,16),
+        # (12,32)) overflowed (25.8k kills) — disqualified.  Merged-group
+        # variants measured no better than plain here (box interior keeps
+        # occupancy high; pooling buys nothing).
+        compaction=((3, 2), (5, 4), (8, 8), (11, 16)),
+        batch=32,
+    )
 
 
 def single_model():
@@ -74,7 +89,17 @@ def single_model():
             "single_model",
             "pt_rgb",
             scale_mult=0.8,
-            compaction="auto",
+            # measured r5 (scripts/exp_r9e.py full-frame occupancy probe:
+            # 22.4% alive after b0, 14.9% after b1, 0.63% after b2 — the
+            # old auto-calibrated ((3,32),(4,64)) left bounces 1-2 at full
+            # 262k width): merged g16 KF=64 at ((1,4),(3,128)) = 47.4
+            # ms/frame vs 91.4 on the auto path, overflow 0 (group-pooled
+            # capacity 0.78% vs 0.63% occupancy).  (1,8)/(1,5) overflow
+            # (hit fraction 22.4% > capacity) and a (2,6) middle phase
+            # measured 55.0 — both disqualified.
+            compaction=((1, 4), (3, 128)),
+            group=16,
+            batch=64,
         ),
     )
 
