@@ -119,6 +119,16 @@ def sky_dome():
         "pt_spec",
         scale_mult=2.0,
         sky=dict(turbidity=3.0, albedo=0.5, elevation=0.17),
+        # measured r5 (scripts/exp_r10a.py): a depth-2 scene — 4.58%
+        # alive after bounce 0 (the mirror sphere), 0% after bounce 1
+        # (reflections leave into the sky), yet the uncompacted path ran
+        # all 10 bounces at 262k lanes.  KF=64 at ((1,16),) = 45.4
+        # ms/frame vs 82.9 uncompacted KF=8, overflow 0 (capacity 6.25%
+        # vs a geometry-deterministic 4.58% hit fraction); a second
+        # (2,128) boundary measured a wash — the while_loop already
+        # exits on the dead wavefront.
+        compaction=((1, 16),),
+        batch=64,
     )
 
 

@@ -311,9 +311,12 @@ def _pack_spec(carry):
             carry["lam0"][None],                               # 37
             carry["bin"][None],                                # 38
             carry["alive"].astype(jnp.float32)[None],          # 39
-            jax.lax.bitcast_convert_type(
-                carry["pixel"], jnp.float32
-            )[None],                                           # 40
+            # pixel ids as f32 VALUES, not bitcast bits: ids < 2^23
+            # bitcast to denormal f32, and a TPU while_loop fusion
+            # flushes denormals to zero (measured r5: every compacted
+            # sky_dome lane scattered to pixel 0 under full jit; exact
+            # in eager and on CPU).  f32 holds ids exactly up to 2^24.
+            carry["pixel"].astype(jnp.float32)[None],          # 40
         ],
         axis=0,
     )
@@ -332,7 +335,7 @@ def _unpack_spec(m):
         lam0=m[37],
         bin=m[38],
         alive=m[39] > 0.5,
-        pixel=jax.lax.bitcast_convert_type(m[40], jnp.int32),
+        pixel=m[40].astype(jnp.int32),
     )
 
 
