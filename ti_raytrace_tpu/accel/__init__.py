@@ -44,14 +44,23 @@ def trace(scene, origin, direction, sort_rays: bool = True,
     the result as exact only for `prim == target` / `t-within-bound`
     predicates, which hold under both behaviors.
 
-    active + cap_frac: occupancy compaction (cluster tracer only, see
-    cluster_trace.trace_clustered) — inactive lanes' results are
-    UNDEFINED across the two tracers (miss under the cluster tracer,
-    real hits under dense), so callers may only read lanes they marked
-    active."""
+    active + cap_frac: occupancy compaction (both tracers since r5:
+    cluster_trace.trace_clustered packs the kernel grid;
+    dense_trace.trace_planar_capped packs the block sweep) — inactive
+    lanes' results are UNDEFINED across the tracers (miss under
+    cluster/capped-dense, real hits under uncapped dense), so callers
+    may only read lanes they marked active."""
     if scene.n_prims <= DENSE_MAX_PRIMS:
-        from ti_raytrace_tpu.ops.dense_trace import trace_planar
+        from ti_raytrace_tpu.ops.dense_trace import (trace_planar,
+                                                     trace_planar_capped)
 
+        if active is not None and cap_frac is not None:
+            # r5: the dense sweep has no dead-lane early exit (every
+            # lane pays N x P), so mostly-parked wavefronts NEED the
+            # packing that the cluster kernel gets for free from its
+            # dead-tile exit.  Same contract as the cluster cap.
+            return trace_planar_capped(scene, origin, direction, active,
+                                       cap_frac)
         return trace_planar(scene, origin, direction)
     from ti_raytrace_tpu.ops.cluster_trace import trace_clustered
 

@@ -21,7 +21,8 @@ from ti_raytrace_tpu.examples.scenes import EXAMPLES, make_camera
 from ti_raytrace_tpu.metrics import RenderMeter
 
 
-def get_integrator(name: str, cfg_sky=None, compaction=None, scene=None):
+def get_integrator(name: str, cfg_sky=None, compaction=None, scene=None,
+                   cfg=None):
     if name == "pt_rgb":
         import functools
 
@@ -45,11 +46,17 @@ def get_integrator(name: str, cfg_sky=None, compaction=None, scene=None):
 
         # 512^2 runs unsliced since the r2 tracer rework; 2 slices measured
         # slightly faster (0.92 vs 1.06 s/frame) and halve peak HBM
-        return functools.partial(bdpt_rgb.render_frame_sliced, n_slices=2)
+        return functools.partial(
+            bdpt_rgb.render_frame_sliced, n_slices=2,
+            walk_compaction=(cfg.bdpt_walk_compaction if cfg else None),
+            shadow_cap=(cfg.bdpt_shadow_cap if cfg else None))
     if name == "bdpt_spec":
         from ti_raytrace_tpu.integrators import bdpt_spec
 
-        return bdpt_spec.make_render_frame(**(cfg_sky or {}))
+        return bdpt_spec.make_render_frame(
+            **(cfg_sky or {}),
+            walk_compaction=(cfg.bdpt_walk_compaction if cfg else None),
+            shadow_cap=(cfg.bdpt_shadow_cap if cfg else None))
     raise ValueError(f"unknown integrator {name!r}")
 
 
@@ -79,7 +86,7 @@ def main(argv=None):
         compaction = _pt.calibrate_compaction(scene, spec, cam)
         print(f"calibrated compaction schedule: {compaction}")
     integ_name = args.integrator or cfg.integrator
-    render = get_integrator(integ_name, cfg.sky, compaction, scene)
+    render = get_integrator(integ_name, cfg.sky, compaction, scene, cfg)
 
     # Multi-frame dispatch for the wavefront PT integrators: the axon
     # tunnel has a ~30 ms per-dispatch floor, so batching 8 progressive
@@ -125,6 +132,28 @@ def main(argv=None):
                 compaction=compaction,
             )
             return fl
+    elif integ_name in ("bdpt_rgb", "bdpt_spec"):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        # BDPT frames are 0.4-1 s, so the ~30 ms tunnel floor is small —
+        # but n frames per dispatch still saves the per-frame host
+        # round-trip.  Key/frame discipline matches the sequential loop
+        # (render(fl.frame, fl.key) then accumulate) bit for bit.
+        batch_cap = cfg.batch or 4
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def _batch(fl, n):
+            def body(_, fl):
+                rad = render(scene, spec, cam, fl.frame, fl.key)
+                return film_mod.accumulate(fl, rad)
+
+            return jax.lax.fori_loop(0, n, body, fl)
+
+        def render_batch(fl, n):
+            return _batch(fl, n=n)
 
     fl = film_mod.new_film(args.size, args.size, seed=args.seed)
     if args.checkpoint:

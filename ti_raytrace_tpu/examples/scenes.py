@@ -43,6 +43,14 @@ class ExampleConfig:
     # frames per dispatch for the CLI loop (None = run.py default).  The
     # axon tunnel has a ~30 ms dispatch floor; per-scene values measured.
     batch: int | None = None
+    # BDPT walk-compaction schedules (eye, light) and shadow-batch cap,
+    # the bdpt_rgb.render_paths contract.  Walk compaction is a measured
+    # LOSS on cluster-tracer scenes (veach: the kernel's dead-tile early
+    # exit already makes parked lanes free) and a 16% win on dense-tracer
+    # scenes; the dense shadow cap is the big prism lever (932 -> 402
+    # ms/frame with byte-identical output, scripts/exp_r10g.py).
+    bdpt_walk_compaction: tuple | None = None
+    bdpt_shadow_cap: float | None = None
 
 
 def _add_sphere_light(b: SceneBuilder, emission=50.0):
@@ -199,6 +207,15 @@ def prism_rainbow():
             # emitter scale'); both prism lights are gray (500,500,500),
             # where ||Ke||_1/||Ke||_2 = sqrt(3)
             sky=dict(emitter_scale=float(np.sqrt(3.0))),
+            # measured r5 (scripts/exp_r10g.py, 512^2): 932.7 -> 401.5
+            # ms/frame.  Walk schedules sized to the CPU-probed alive
+            # fractions (eye .53/.14/.07/.02, light .56/.37/.22/.20);
+            # the dense shadow batch is 6.8% active (/tmp probe ->
+            # docs/PERF.md), cap 0.09 leaves 32% headroom and rendered
+            # byte-identical sums vs uncapped.
+            bdpt_walk_compaction=(((2, 1.7), (3, 5.5), (4, 10.0)),
+                                  ((2, 1.6), (3, 2.4), (4, 3.9))),
+            bdpt_shadow_cap=0.09,
         ),
     )
 

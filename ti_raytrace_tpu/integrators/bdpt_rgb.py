@@ -95,10 +95,20 @@ def _empty_vertex(N):
     )
 
 
-def _walk_state(origin, direction, beta0, fpdf0, vertex0, max_depth):
-    """Mutable walk carry: per-depth vertex dicts + the ray front."""
+def _walk_state(origin, direction, beta0, fpdf0, vertex0, max_depth,
+                spec_ctx=None):
+    """Mutable walk carry: per-depth vertex dicts + the ray front.
+
+    The front additionally carries the previous vertex's pos/normal and
+    each lane's ORIGINAL lane id so the front can be occupancy-compacted
+    mid-walk (r5): vertex writes then scatter back to original lane
+    slots while all arithmetic runs at the compacted width.  In the
+    default full-width mode (`compacted` False) every value is
+    bit-identical to the pre-r5 walk.  Spectral walks also ride the
+    per-lane wavelength tables (spec_ctx.lam / d65_val) in the front so
+    they shrink with it."""
     N = origin.shape[1]
-    return {
+    st = {
         "verts": [vertex0] + [_empty_vertex(N) for _ in range(max_depth - 1)],
         "count": jnp.ones((N,), jnp.int32),
         "o": origin,
@@ -106,16 +116,80 @@ def _walk_state(origin, direction, beta0, fpdf0, vertex0, max_depth):
         "beta": beta0,
         "pdf_fwd": fpdf0,
         "alive": jnp.ones((N,), bool),
+        "lane": jnp.arange(N, dtype=jnp.int32),
+        "prev_pos": vertex0["pos"],
+        "prev_normal": vertex0["normal"],
+        "compacted": False,  # python-static: front narrower than verts?
+        "n_full": N,
     }
+    if spec_ctx is not None:
+        st["lam"] = spec_ctx.lam
+        st["d65"] = spec_ctx.d65_val
+    return st
+
+
+def _walk_width(N: int, dv) -> int:
+    """Compacted front width: N/dv rounded up to a 128-lane multiple."""
+    w = int(N / float(dv))
+    return min(N, max(128, (w + 127) // 128 * 128))
+
+
+def _compact_walk_front(st, new_n: int):
+    """Alive-first stable sort + static prefix slice of the walk front
+    (the PT compaction contract, pt_rgb._compact): live lanes above
+    capacity are dropped — their subpath simply ends here, which the
+    estimator sees as a shorter walk (observable bias; schedules carry
+    measured headroom and the overflow count is returned for
+    telemetry)."""
+    w = st["o"].shape[1]
+    n_alive = jnp.sum(st["alive"].astype(jnp.int32))
+    overflow = jnp.maximum(n_alive - new_n, 0)
+    key = jnp.where(st["alive"], jnp.uint32(0), jnp.uint32(1))
+    idx = jnp.arange(w, dtype=jnp.int32)
+    _, order = jax.lax.sort((key, idx), num_keys=1, is_stable=True)
+    sel = order[:new_n]
+    C_ = st["beta"].shape[0]
+    spectral = "lam" in st
+    rows = [st["o"], st["d"], st["beta"], st["pdf_fwd"][None],
+            st["prev_pos"], st["prev_normal"]]
+    if spectral:
+        rows += [st["lam"][None], st["d65"][None]]
+    rows = jnp.concatenate(rows, axis=0)
+    rows = jnp.swapaxes(jnp.take(jnp.swapaxes(rows, 0, 1), sel, axis=0), 0, 1)
+    st["o"] = rows[0:3]
+    st["d"] = rows[3:6]
+    st["beta"] = rows[6:6 + C_]
+    st["pdf_fwd"] = rows[6 + C_]
+    st["prev_pos"] = rows[7 + C_:10 + C_]
+    st["prev_normal"] = rows[10 + C_:13 + C_]
+    if spectral:
+        st["lam"] = rows[13 + C_]
+        st["d65"] = rows[14 + C_]
+    st["alive"] = jnp.take(st["alive"], sel)
+    st["lane"] = jnp.take(st["lane"], sel)
+    st["compacted"] = True
+    return overflow
 
 
 def _walk(scene, origin, direction, beta0, fpdf0, vertex0, max_depth, key,
-          is_light_path, spec_ctx=None, corrected: bool = False):
+          is_light_path, spec_ctx=None, corrected: bool = False,
+          compaction=None):
     """Shared subpath random walk (reference eye_path:105-198 /
     light_path:201-294).  Returns list of per-depth vertex dicts and the
-    per-lane vertex count."""
-    st = _walk_state(origin, direction, beta0, fpdf0, vertex0, max_depth)
+    per-lane vertex count.
+
+    compaction: optional ((depth, divisor), ...) — before the trace at
+    `depth` the front shrinks to width/divisor (alive-first), exactly
+    the PT schedule contract.  Occupancy collapses identically to PT
+    (veach eye walk: 85/65/47/34/25/18% alive after depths 1-6), and a
+    dead lane still pays full trace + shade cost without this."""
+    st = _walk_state(origin, direction, beta0, fpdf0, vertex0, max_depth,
+                     spec_ctx)
+    N = origin.shape[1]
+    sched = dict(compaction or ())
     for depth in range(1, max_depth):
+        if depth in sched:
+            _compact_walk_front(st, _walk_width(N, sched[depth]))
         o_t = pv.where(st["alive"], st["o"], jnp.full_like(st["o"], PARK))
         traced = trace_shaded(scene, o_t, st["d"])
         _walk_step(scene, st, depth, key, is_light_path, spec_ctx,
@@ -125,11 +199,21 @@ def _walk(scene, origin, direction, beta0, fpdf0, vertex0, max_depth, key,
 
 def _walk_step(scene, st, depth, key, is_light_path, spec_ctx, corrected,
                o_t, traced):
-    """One walk depth given this depth's trace results; mutates st."""
+    """One walk depth given this depth's trace results; mutates st.
+
+    Runs at the FRONT's width (== full width until the first compaction
+    boundary).  In compacted mode the per-depth vertex dict is written
+    through one packed scatter back to original lane slots; the
+    full-width branch keeps the pre-r5 masked writes bit-identically."""
     N = o_t.shape[1]
     verts, count = st["verts"], st["count"]
     o, d, beta, pdf_fwd, alive = (st["o"], st["d"], st["beta"],
                                   st["pdf_fwd"], st["alive"])
+    compacted = st["compacted"]
+    N_full = st["n_full"]
+    if spec_ctx is not None:
+        # per-lane wavelength tables ride the (possibly compacted) front
+        spec_ctx = spec_ctx._replace(lam=st["lam"], d65_val=st["d65"])
 
     k = jax.random.fold_in(key, depth)
     u = jax.random.uniform(k, (5, N), dtype=jnp.float32)
@@ -144,8 +228,11 @@ def _walk_step(scene, st, depth, key, is_light_path, spec_ctx, corrected,
         reflect = spec_ctx.reflect_power(attr)
     is_light_mat = hit.mat_type == C.MAT_LIGHT
 
-    prev = verts[depth - 1]
-    to = hit.pos - prev["pos"]
+    # previous vertex pos/normal ride the front (they equal
+    # verts[depth-1]'s masked writes exactly; carrying them avoids a
+    # per-lane gather when the front is compacted)
+    prev_pos, prev_normal = st["prev_pos"], st["prev_normal"]
+    to = hit.pos - prev_pos
     dist = jnp.maximum(pv.length(to), 0.01)
     inv_d2 = 1.0 / (dist * dist)
     to = to * (1.0 / dist)[None]
@@ -156,7 +243,7 @@ def _walk_step(scene, st, depth, key, is_light_path, spec_ctx, corrected,
     else:
         # reference quirk: cosine at the PREVIOUS vertex
         # (BDPT_RGB.py:143-146 geo_pdf uses this_normal of the source)
-        geo_fwd = jnp.abs(pv.dot(to, prev["normal"])) * inv_d2
+        geo_fwd = jnp.abs(pv.dot(to, prev_normal)) * inv_d2
 
     if is_light_path:
         # light walk stops on emitter hits without storing a vertex
@@ -165,19 +252,6 @@ def _walk_step(scene, st, depth, key, is_light_path, spec_ctx, corrected,
         store = valid
 
     vt = verts[depth]
-    vt["pos"] = pv.where(store, hit.pos, vt["pos"])
-    vt["normal"] = pv.where(store, hit.normal, vt["normal"])
-    vt["snormal"] = pv.where(store, fnormal, vt["snormal"])
-    vt["wo"] = pv.where(store, d, vt["wo"])
-    vt["reflect"] = pv.where(store, reflect, vt["reflect"])
-    vt["fpdf"] = jnp.where(store, pdf_fwd * geo_fwd, vt["fpdf"])
-    vt["prim"] = jnp.where(store, prim, vt["prim"])
-    vt["mat_type"] = jnp.where(store, hit.mat_type, vt["mat_type"])
-    vt["mat_index"] = jnp.where(store, attr[30].astype(jnp.int32), vt["mat_index"])
-    vt["metallic"] = jnp.where(store, hit.mat_p0, vt["metallic"])
-    vt["roughness"] = jnp.where(store, hit.mat_p1, vt["roughness"])
-    vt["area"] = jnp.where(store, hit.area, vt["area"])
-
     if not is_light_path:
         # emitter hit terminates the eye walk with a light vertex
         # (beta folds emission and |n.d|, reference :148-152; the
@@ -188,21 +262,79 @@ def _walk_step(scene, st, depth, key, is_light_path, spec_ctx, corrected,
             light_beta = beta * hit.mat_color * jnp.abs(pv.dot(hit.normal, d))[None]
         else:
             light_beta = beta * spec_ctx.light_power_attr(attr)
-        vt["beta"] = pv.where(
-            lhit,
-            light_beta,
-            pv.where(store, beta * jnp.abs(pv.dot(d, hit.normal))[None], vt["beta"]),
-        )
-        vt["vtype"] = jnp.where(
-            lhit, V_LIGHT, jnp.where(store, V_SURFACE, vt["vtype"])
-        )
-        count = jnp.where(valid, depth + 1, count)
+        beta_v = pv.where(
+            lhit, light_beta, beta * jnp.abs(pv.dot(d, hit.normal))[None])
+        vtype_v = jnp.where(lhit, V_LIGHT, V_SURFACE)
+        write = valid          # beta/vtype land for light hits too
         continue_mask = valid & ~is_light_mat
     else:
-        vt["beta"] = pv.where(store, beta * jnp.abs(pv.dot(d, hit.normal))[None], vt["beta"])
-        vt["vtype"] = jnp.where(store, V_SURFACE, vt["vtype"])
-        count = jnp.where(store, depth + 1, count)
+        beta_v = beta * jnp.abs(pv.dot(d, hit.normal))[None]
+        vtype_v = jnp.full((N,), V_SURFACE, jnp.int32)
+        write = store
         continue_mask = store
+
+    fpdf_v = pdf_fwd * geo_fwd
+    mat_index_v = attr[30].astype(jnp.int32)
+    if not compacted:
+        vt["pos"] = pv.where(store, hit.pos, vt["pos"])
+        vt["normal"] = pv.where(store, hit.normal, vt["normal"])
+        vt["snormal"] = pv.where(store, fnormal, vt["snormal"])
+        vt["wo"] = pv.where(store, d, vt["wo"])
+        vt["reflect"] = pv.where(store, reflect, vt["reflect"])
+        vt["fpdf"] = jnp.where(store, fpdf_v, vt["fpdf"])
+        vt["prim"] = jnp.where(store, prim, vt["prim"])
+        vt["mat_type"] = jnp.where(store, hit.mat_type, vt["mat_type"])
+        vt["mat_index"] = jnp.where(store, mat_index_v, vt["mat_index"])
+        vt["metallic"] = jnp.where(store, hit.mat_p0, vt["metallic"])
+        vt["roughness"] = jnp.where(store, hit.mat_p1, vt["roughness"])
+        vt["area"] = jnp.where(store, hit.area, vt["area"])
+        if not is_light_path:
+            vt["beta"] = pv.where(write, beta_v, vt["beta"])
+            vt["vtype"] = jnp.where(write, vtype_v, vt["vtype"])
+            count = jnp.where(valid, depth + 1, count)
+        else:
+            vt["beta"] = pv.where(store, beta_v, vt["beta"])
+            vt["vtype"] = jnp.where(store, vtype_v, vt["vtype"])
+            count = jnp.where(store, depth + 1, count)
+    else:
+        # vertex storage rows are always 3-wide for beta/reflect
+        # (_empty_vertex); spectral (1, w) values broadcast into them
+        # exactly as the full-width pv.where writes did
+        C_ = vt["reflect"].shape[0]
+        reflect_b = jnp.broadcast_to(reflect, (C_, N))
+        beta_b = jnp.broadcast_to(beta_v, (vt["beta"].shape[0], N))
+        # ONE packed scatter back to original lane slots; non-written
+        # slots keep the _empty_vertex init (zeros / prim -1).  Indices
+        # outside the write mask go out of bounds and drop.
+        lane = st["lane"]
+        idx_store = jnp.where(store, lane, jnp.int32(N_full))
+        idx_write = jnp.where(write, lane, jnp.int32(N_full))
+        updf = jnp.concatenate(
+            [hit.pos, hit.normal, fnormal, d, reflect_b,
+             fpdf_v[None], hit.mat_p0[None], hit.mat_p1[None],
+             hit.area[None]], axis=0)          # (12 + C_ + 4, w)
+        basef = jnp.concatenate(
+            [vt["pos"], vt["normal"], vt["snormal"], vt["wo"],
+             vt["reflect"], vt["fpdf"][None], vt["metallic"][None],
+             vt["roughness"][None], vt["area"][None]], axis=0)
+        scf = basef.at[:, idx_store].set(updf, mode="drop")
+        vt["pos"] = scf[0:3]
+        vt["normal"] = scf[3:6]
+        vt["snormal"] = scf[6:9]
+        vt["wo"] = scf[9:12]
+        vt["reflect"] = scf[12:12 + C_]
+        vt["fpdf"] = scf[12 + C_]
+        vt["metallic"] = scf[13 + C_]
+        vt["roughness"] = scf[14 + C_]
+        vt["area"] = scf[15 + C_]
+        updi = jnp.stack([prim, hit.mat_type, mat_index_v])
+        basei = jnp.stack([vt["prim"], vt["mat_type"], vt["mat_index"]])
+        sci = basei.at[:, idx_store].set(updi, mode="drop")
+        vt["prim"], vt["mat_type"], vt["mat_index"] = sci[0], sci[1], sci[2]
+        # beta/vtype/count use the (possibly wider) write mask
+        vt["beta"] = vt["beta"].at[:, idx_write].set(beta_b, mode="drop")
+        vt["vtype"] = vt["vtype"].at[idx_write].set(vtype_v, mode="drop")
+        count = count.at[idx_write].set(depth + 1, mode="drop")
 
     # ---- sample the continuation --------------------------------
     is_glass = continue_mask & (hit.mat_type == C.MAT_GLASS)
@@ -223,7 +355,11 @@ def _walk_step(scene, st, depth, key, is_light_path, spec_ctx, corrected,
     f_or_b = jnp.where(is_glass, g_forb, 1.0)
     brdf = jnp.where(is_glass, 1.0, d_brdf)
     pdf_new = jnp.where(is_glass, 1.0, d_pdf)
-    vt["delta"] = jnp.where(store, jnp.where(is_glass, 1.0, 0.0), vt["delta"])
+    delta_v = jnp.where(is_glass, 1.0, 0.0)
+    if not compacted:
+        vt["delta"] = jnp.where(store, delta_v, vt["delta"])
+    else:
+        vt["delta"] = vt["delta"].at[idx_store].set(delta_v, mode="drop")
 
     ok = continue_mask & (pdf_new > 0.0)
 
@@ -235,10 +371,19 @@ def _walk_step(scene, st, depth, key, is_light_path, spec_ctx, corrected,
     )
     if corrected:
         # area measure at the PREVIOUS vertex -> its cosine
-        geo_rev = jnp.abs(pv.dot(to, prev["normal"])) * inv_d2
+        geo_rev = jnp.abs(pv.dot(to, prev_normal)) * inv_d2
     else:
-        geo_rev = jnp.abs(pv.dot(to, vt["normal"])) * inv_d2
-    prev["rpdf"] = jnp.where(ok, pdf_rev * geo_rev, prev["rpdf"])
+        # bit-identical to reading vt["normal"] back: the write below
+        # the ok mask is hit.normal for every ok lane
+        geo_rev = jnp.abs(pv.dot(to, hit.normal)) * inv_d2
+    prev_ref = verts[depth - 1]
+    rpdf_v = pdf_rev * geo_rev
+    if not compacted:
+        prev_ref["rpdf"] = jnp.where(ok, rpdf_v, prev_ref["rpdf"])
+    else:
+        idx_ok = jnp.where(ok, st["lane"], jnp.int32(N_full))
+        prev_ref["rpdf"] = prev_ref["rpdf"].at[idx_ok].set(
+            rpdf_v, mode="drop")
 
     beta_scale = jnp.where(
         is_glass,
@@ -257,10 +402,13 @@ def _walk_step(scene, st, depth, key, is_light_path, spec_ctx, corrected,
     d = pv.where(ok, next_dir, d)
     alive = ok
 
-
     st["count"] = count
     st["o"], st["d"] = o, d
     st["beta"], st["pdf_fwd"], st["alive"] = beta, pdf_fwd, alive
+    # next step's previous vertex == this depth's stored vertex
+    zero3 = jnp.zeros_like(hit.pos)
+    st["prev_pos"] = pv.where(store, hit.pos, zero3)
+    st["prev_normal"] = pv.where(store, hit.normal, zero3)
 
 
 def build_eye_path_rays(scene, o, d, key, spec_ctx=None,
@@ -362,7 +510,8 @@ def build_light_path(scene, N, key, spec_ctx=None,
 def build_subpaths(scene, o, d, k_eye, k_light, spec_ctx=None,
                    eye_depth: int = EYE_MAX_DEPTH,
                    light_depth: int = LIGHT_MAX_DEPTH,
-                   fpdf0=None, corrected: bool = False):
+                   fpdf0=None, corrected: bool = False,
+                   walk_compaction=None, return_overflow: bool = False):
     """Eye + light subpaths with each depth's two walk traces fused into
     ONE wavefront.  The walks are independent, so the tracer's fixed
     per-dispatch costs (coherence sort, kernel launch, unsort gathers)
@@ -370,9 +519,17 @@ def build_subpaths(scene, o, d, k_eye, k_light, spec_ctx=None,
     either way, so the estimator is unchanged vs the separate builders
     (same keys: k_eye == build_eye_path_rays' key, k_light ==
     build_light_path's).  Returns (eye, eye_count, light, light_count).
-    """
+
+    walk_compaction: optional (eye_schedule, light_schedule), each the
+    _walk compaction contract ((depth, divisor), ...).  The fused trace
+    then runs at the sum of the two compacted front widths.  With
+    return_overflow=True a fifth element counts live lanes dropped at
+    capacity (0 == exact estimator)."""
     N = o.shape[1]
     C_ = 1 if spec_ctx is not None else 3
+    sched_e, sched_l = (walk_compaction or (None, None))
+    sched_e = dict(sched_e or ())
+    sched_l = dict(sched_l or ())
 
     v0e = _empty_vertex(N)
     v0e["pos"] = o
@@ -383,28 +540,36 @@ def build_subpaths(scene, o, d, k_eye, k_light, spec_ctx=None,
     if fpdf0 is None:
         fpdf0 = jnp.ones((N,), jnp.float32)
     st_e = _walk_state(o, d, jnp.ones((C_, N), jnp.float32), fpdf0, v0e,
-                       eye_depth)
+                       eye_depth, spec_ctx)
 
     k_sample, k_lwalk = jax.random.split(k_light)
     lo, ld, lbeta0, ldir_pdf, v0l = _light_init(scene, N, k_sample, spec_ctx,
                                                 corrected)
-    st_l = _walk_state(lo, ld, lbeta0, ldir_pdf, v0l, light_depth)
+    st_l = _walk_state(lo, ld, lbeta0, ldir_pdf, v0l, light_depth, spec_ctx)
 
+    overflow = jnp.int32(0)
     for depth in range(1, max(eye_depth, light_depth)):
         do_e = depth < eye_depth
         do_l = depth < light_depth
+        if do_e and depth in sched_e:
+            overflow = overflow + _compact_walk_front(
+                st_e, _walk_width(N, sched_e[depth]))
+        if do_l and depth in sched_l:
+            overflow = overflow + _compact_walk_front(
+                st_l, _walk_width(N, sched_l[depth]))
         o_te = (pv.where(st_e["alive"], st_e["o"],
                          jnp.full_like(st_e["o"], PARK)) if do_e else None)
         o_tl = (pv.where(st_l["alive"], st_l["o"],
                          jnp.full_like(st_l["o"], PARK)) if do_l else None)
         if do_e and do_l:
+            we = o_te.shape[1]
             tt = trace_shaded(
                 scene,
                 jnp.concatenate([o_te, o_tl], axis=1),
                 jnp.concatenate([st_e["d"], st_l["d"]], axis=1),
             )
-            traced_e = tuple(x[..., :N] for x in tt)
-            traced_l = tuple(x[..., N:] for x in tt)
+            traced_e = tuple(x[..., :we] for x in tt)
+            traced_l = tuple(x[..., we:] for x in tt)
         elif do_e:
             traced_e = trace_shaded(scene, o_te, st_e["d"])
         else:
@@ -416,7 +581,8 @@ def build_subpaths(scene, o, d, k_eye, k_light, spec_ctx=None,
             _walk_step(scene, st_l, depth, k_lwalk, True, spec_ctx,
                        corrected, o_tl, traced_l)
 
-    return st_e["verts"], st_e["count"], st_l["verts"], st_l["count"]
+    out = (st_e["verts"], st_e["count"], st_l["verts"], st_l["count"])
+    return out + (overflow,) if return_overflow else out
 
 
 def _remap0(f):
@@ -1057,7 +1223,8 @@ def _connections(scene, spec, cam, eye, eye_count, light, light_count, key,
 
 
 def render_paths(scene, spec: CameraSpec, cam, frame, key, spec_ctx=None,
-                 corrected: bool = False, max_depth: int = MAX_DEPTH):
+                 corrected: bool = False, max_depth: int = MAX_DEPTH,
+                 walk_compaction=None, shadow_cap=None):
     """Shared frame body: subpaths + connections -> (W, H, 3) radiance.
 
     max_depth is the strategy-depth cap (reference BDPT_RGB.py:23);
@@ -1073,10 +1240,10 @@ def render_paths(scene, spec: CameraSpec, cam, frame, key, spec_ctx=None,
     eye, eye_count, light, light_count = build_subpaths(
         scene, o, d, k_ewalk, k_light, spec_ctx,
         eye_depth=max_depth + 2, light_depth=max_depth + 1,
-        fpdf0=fpdf0, corrected=corrected)
+        fpdf0=fpdf0, corrected=corrected, walk_compaction=walk_compaction)
     radiance, splat = _connections(
         scene, spec, cam, eye, eye_count, light, light_count, k_conn, spec_ctx,
-        corrected=corrected, max_depth=max_depth,
+        corrected=corrected, max_depth=max_depth, shadow_cap=shadow_cap,
     )
     if spec_ctx is not None:
         radiance = spec_ctx.to_rgb(radiance)
@@ -1084,18 +1251,22 @@ def render_paths(scene, spec: CameraSpec, cam, frame, key, spec_ctx=None,
     return img + splat
 
 
-@partial(jax.jit, static_argnames=("spec", "corrected", "max_depth"))
+@partial(jax.jit, static_argnames=("spec", "corrected", "max_depth",
+                                   "walk_compaction"))
 def render_frame(scene, spec: CameraSpec, cam, frame, key,
-                 corrected: bool = False, max_depth: int = MAX_DEPTH):
+                 corrected: bool = False, max_depth: int = MAX_DEPTH,
+                 walk_compaction=None):
     """One progressive BDPT frame -> (W, H, 3) radiance."""
     return render_paths(scene, spec, cam, frame, key, corrected=corrected,
-                        max_depth=max_depth)
+                        max_depth=max_depth, walk_compaction=walk_compaction)
 
 
 @partial(jax.jit,
-         static_argnames=("spec", "n_slices", "max_depth", "shadow_cap"))
+         static_argnames=("spec", "n_slices", "max_depth", "shadow_cap",
+                          "walk_compaction"))
 def _render_slice(scene, spec: CameraSpec, cam, frame, key, n_slices: int,
-                  slice_i, max_depth: int = MAX_DEPTH, shadow_cap=None):
+                  slice_i, max_depth: int = MAX_DEPTH, shadow_cap=None,
+                  walk_compaction=None):
     # slice_i is traced -> one compilation serves every slice
     N = spec.width * spec.height
     ns = N // n_slices
@@ -1105,23 +1276,25 @@ def _render_slice(scene, spec: CameraSpec, cam, frame, key, n_slices: int,
     start = slice_i * ns
     o = jax.lax.dynamic_slice_in_dim(o_full, start, ns, axis=1)
     d = jax.lax.dynamic_slice_in_dim(d_full, start, ns, axis=1)
-    eye, eye_count, light, light_count = build_subpaths(
+    eye, eye_count, light, light_count, overflow = build_subpaths(
         scene, o, d,
         jax.random.fold_in(k_eye, slice_i),
         jax.random.fold_in(k_light, slice_i),
         eye_depth=max_depth + 2, light_depth=max_depth + 1,
+        walk_compaction=walk_compaction, return_overflow=True,
     )
     radiance, splat = _connections(
         scene, spec, cam, eye, eye_count, light, light_count,
         jax.random.fold_in(k_conn, slice_i), max_depth=max_depth,
         shadow_cap=shadow_cap,
     )
-    return jnp.swapaxes(radiance, 0, 1), splat
+    return jnp.swapaxes(radiance, 0, 1), splat, overflow
 
 
 def render_frame_sliced(scene, spec: CameraSpec, cam, frame, key,
                         n_slices: int = 2, max_depth: int = MAX_DEPTH,
-                        shadow_cap=None):
+                        shadow_cap=None, walk_compaction=None,
+                        return_overflow: bool = False):
     """BDPT frame rendered in `n_slices` sequential lane slices: the
     13-vertex wavefront state of a full 512^2 frame exceeds HBM, so each
     slice runs the whole pipeline on 1/n of the pixels (light-tracing
@@ -1129,11 +1302,15 @@ def render_frame_sliced(scene, spec: CameraSpec, cam, frame, key,
     N = spec.width * spec.height
     parts = []
     splat_total = jnp.zeros((spec.width, spec.height, 3), jnp.float32)
+    overflow_total = jnp.int32(0)
     for i in range(n_slices):
-        rad, splat = _render_slice(scene, spec, cam, frame, key, n_slices,
-                                   jnp.int32(i), max_depth=max_depth,
-                                   shadow_cap=shadow_cap)
+        rad, splat, ov = _render_slice(scene, spec, cam, frame, key, n_slices,
+                                       jnp.int32(i), max_depth=max_depth,
+                                       shadow_cap=shadow_cap,
+                                       walk_compaction=walk_compaction)
         parts.append(rad)
         splat_total = splat_total + splat
+        overflow_total = overflow_total + ov
     img = jnp.concatenate(parts, axis=0).reshape(spec.width, spec.height, 3)
-    return img + splat_total
+    img = img + splat_total
+    return (img, overflow_total) if return_overflow else img

@@ -112,7 +112,8 @@ def make_spec_ctx_fn(emitter_scale: float = 1.0):
     return spec_ctx
 
 
-def make_render_frame(emitter_scale: float = 1.0):
+def make_render_frame(emitter_scale: float = 1.0, walk_compaction=None,
+                      shadow_cap=None):
     spec_ctx = make_spec_ctx_fn(emitter_scale)
 
     @partial(jax.jit, static_argnames=("spec",))
@@ -120,6 +121,8 @@ def make_render_frame(emitter_scale: float = 1.0):
         N = spec.width * spec.height
         k_lam, k_path = jax.random.split(key)
         ctx = spec_ctx(k_lam, N)
-        return bdpt_rgb.render_paths(scene, spec, cam, frame, k_path, ctx)
+        return bdpt_rgb.render_paths(scene, spec, cam, frame, k_path, ctx,
+                                     walk_compaction=walk_compaction,
+                                     shadow_cap=shadow_cap)
 
     return render_frame

@@ -105,6 +105,33 @@ def trace_planar(scene, o, d):
     return t, prim
 
 
+def trace_planar_capped(scene, o, d, active, cap_frac: float):
+    """Closest hit with active-lane packing: the dense sweep costs
+    N x P for EVERY lane (no early exit exists in a full block sweep),
+    so wavefronts that are mostly parked — BDPT's fused shadow batch is
+    6.8% active on prism_rainbow — pay ~15x their useful work.  Packs
+    the active lanes to a static-capacity prefix (alive-first stable
+    sort, the pt_rgb._compact contract), sweeps only the prefix, and
+    scatters (t, prim) back; inactive and over-capacity lanes report
+    miss (INF, -1), matching the cluster tracer's cap_frac contract
+    (accel.trace: callers may only read lanes they marked active, and
+    actives cut at capacity read as misses — "occluded" to the shadow
+    consumers — so caps need measured headroom)."""
+    N = o.shape[1]
+    W = int(N * float(cap_frac))
+    W = min(N, max(128, (W + 127) // 128 * 128))
+    key = jnp.where(active, jnp.uint32(0), jnp.uint32(1))
+    idx = jnp.arange(N, dtype=jnp.int32)
+    _, order = jax.lax.sort((key, idx), num_keys=1, is_stable=True)
+    sel = order[:W]
+    rows = jnp.concatenate([o, d], axis=0)                     # (6, N)
+    rows = jnp.swapaxes(jnp.take(jnp.swapaxes(rows, 0, 1), sel, axis=0), 0, 1)
+    t_c, prim_c = trace_planar(scene, rows[0:3], rows[3:6])
+    t = jnp.full((N,), C.INF, jnp.float32).at[sel].set(t_c)
+    prim = jnp.full((N,), -1, jnp.int32).at[sel].set(prim_c)
+    return t, prim
+
+
 def trace_shaded(scene, o, d):
     """Closest hit + full shading pack.
 

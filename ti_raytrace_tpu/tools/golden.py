@@ -79,7 +79,9 @@ def render_scene(name: str, frames: int, size: int = 512,
             fl.hdr.block_until_ready()
             done += n
     else:
-        render = get_integrator(integ, cfg.sky, compaction, scene)
+        # pass cfg so the gate validates the SHIPPED per-scene config
+        # (bdpt walk compaction / shadow cap included)
+        render = get_integrator(integ, cfg.sky, compaction, scene, cfg)
         for _ in range(frames):
             rad = render(scene, spec, cam, fl.frame, fl.key)
             rad.block_until_ready()
